@@ -1,0 +1,114 @@
+"""Device-resident accumulating film.
+
+Replaces the reference Film (/root/reference/src/core/film.{h,cu}): linear
+RGB accumulation (f32 per channel), per-pixel weights, and an RGBA8 display
+conversion doing weight-normalize -> Reinhard x/(1+x) -> gamma 1/2.2 -> u8
+with +0.5 rounding (film.cu:101-132, film.h:63-75).
+
+Like the reference's GPU film, samples never round-trip to the host: the
+accumulate and tonemap steps are tiny jits over HBM-resident arrays
+(AddSampleBufferGPU / UpdateDisplayGPU analogues, film.cu:79-132); only the
+final display buffer is fetched.  Buffers are donated so accumulation is
+in-place.
+
+Improvement over the reference: true render checkpointing — the
+accumulation state (accum + weights + sample count + frame index) can be
+saved and restored (the reference's only persistent state is intentionally
+discarded on camera movement, main.cpp:506-511)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _accumulate(accum, weights, rgb, weight):
+    return accum + rgb * weight, weights + weight
+
+
+@partial(jax.jit, static_argnames=())
+def _to_display(accum, weights, exposure, inv_gamma):
+    w = weights[..., None]
+    safe = w > 0.0
+    mean = jnp.where(safe, accum / jnp.where(safe, w, 1.0), 0.0)
+    x = mean * exposure
+    x = x / (1.0 + x)                     # Reinhard (film.h:63-69)
+    x = jnp.power(jnp.maximum(x, 0.0), inv_gamma)
+    rgb = jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5  # ToByte (film.h:71-75)
+    rgb = rgb.astype(jnp.uint8)
+    alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+@jax.jit
+def _hdr_average(accum, weights):
+    w = weights[..., None]
+    safe = w > 0.0
+    return jnp.where(safe, accum / jnp.where(safe, w, 1.0), 0.0)
+
+
+class Film:
+    def __init__(self, width: int, height: int, dtype=jnp.float32):
+        self.width = int(width)
+        self.height = int(height)
+        self._dtype = dtype
+        self.accum = jnp.zeros((self.height, self.width, 3), dtype)
+        self.weights = jnp.zeros((self.height, self.width), dtype)
+        self.sample_count = 0
+
+    # ------------------------------------------------------------------
+    def clear(self) -> None:
+        """Film::Clear (film.cu:25-35) — progressive reset on camera move."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.weights = jnp.zeros_like(self.weights)
+        self.sample_count = 0
+
+    def add_sample_buffer(self, rgb: jax.Array, weight: float = 1.0) -> None:
+        """Film::AddSampleBuffer[GPU] (film.cu:57-99): accumulate one frame
+        of per-pixel radiance. rgb: (H,W,3) or (H*W,3)."""
+        rgb = rgb.reshape(self.height, self.width, 3).astype(self._dtype)
+        self.accum, self.weights = _accumulate(
+            self.accum, self.weights, rgb, jnp.asarray(weight, self._dtype))
+        self.sample_count += 1
+
+    # ------------------------------------------------------------------
+    def to_display(self, exposure: float = 1.0, gamma: float = 2.2) -> jax.Array:
+        """UpdateDisplay[GPU] -> (H,W,4) uint8 on device."""
+        return _to_display(self.accum, self.weights,
+                           jnp.asarray(exposure, self._dtype),
+                           jnp.asarray(1.0 / gamma, self._dtype))
+
+    def display_numpy(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
+        return np.asarray(self.to_display(exposure, gamma))
+
+    def hdr_average(self) -> jax.Array:
+        """Weight-normalized linear HDR image (H,W,3) — the quantity RMSE
+        fidelity gates compare."""
+        return _hdr_average(self.accum, self.weights)
+
+    def save_png(self, path: str, exposure: float = 1.0, gamma: float = 2.2) -> None:
+        from parallelraytracing_tpu.utils.png import write_png
+        write_png(path, self.display_numpy(exposure, gamma))
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str, frame_index: int = 0) -> None:
+        np.savez(path,
+                 accum=np.asarray(self.accum),
+                 weights=np.asarray(self.weights),
+                 sample_count=self.sample_count,
+                 frame_index=frame_index,
+                 width=self.width, height=self.height)
+
+    @classmethod
+    def load_checkpoint(cls, path: str) -> Tuple["Film", int]:
+        z = np.load(path)
+        film = cls(int(z["width"]), int(z["height"]))
+        film.accum = jnp.asarray(z["accum"])
+        film.weights = jnp.asarray(z["weights"])
+        film.sample_count = int(z["sample_count"])
+        return film, int(z["frame_index"])

@@ -1,0 +1,430 @@
+"""Scene model: builder API, preset scenes, and the flat device representation.
+
+Replaces the reference's pointer-based Scene/MaterialPool/ShapePool/
+PrimitiveList (/root/reference/src/core/scene.{h,cpp}, primitive.h,
+material.h:163-200, shape.h:107-126).  Where the reference deduplicates and
+remaps host pointers into device pointers at upload time
+(cuda_megakernel/renderer.cu:276-355, cuda_wavefront/soa.cpp:37-114), we
+compile the scene ONCE into flat struct-of-array jnp buffers indexed by
+integer ids — the only representation that makes sense for XLA.
+
+Primitives are baked to world space exactly like the reference's OptiX
+backend (optix/renderer.cpp:643-671): spheres to world center + scaled
+radius, quads to center + half-extent edge vectors + unit normal, triangles
+to world-space vertices/normals.  Materials flatten into one table
+{type, albedo, roughness, ior, emission} — the analogue of the OptiX
+DeviceMaterial (optix/device_types.h:18-25, renderer.cpp:444-486).
+
+All seven presets of the reference are replicated (scene.cpp:42-350),
+including the deterministic mt19937(1337) layout of the RANDOM_BALLS
+variants (scene.cpp:86).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallelraytracing_tpu.config import DEFAULT_SKY
+from parallelraytracing_tpu.core import geometry as geo
+from parallelraytracing_tpu.core.host_rng import UniformSceneRng
+
+# Material type codes (order matches the reference MatType enum,
+# /root/reference/src/core/material_handle.h).
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_EMISSIVE = 3
+
+# Primitive kind codes used in hit records.
+KIND_NONE = -1
+KIND_SPHERE = 0
+KIND_QUAD = 1
+KIND_TRIANGLE = 2
+
+
+class ScenePreset(enum.Enum):
+    """The reference's preset enum (/root/reference/src/core/scene.h:6-20);
+    the default preset there is RANDOM_BALLS_LARGE."""
+
+    DEFAULT = "default"
+    LIGHT_TEST = "light_test"
+    MATERIAL_TEST = "material_test"
+    CORNELL = "cornell"
+    RANDOM_BALLS_SMALL = "random_balls_small"
+    RANDOM_BALLS_MEDIUM = "random_balls_medium"
+    RANDOM_BALLS_LARGE = "random_balls_large"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Flat device scene. Every field is a jnp array; the pytree is passed
+    straight into jit'd render functions.  Empty categories are padded with
+    one inert element and masked via ``*_valid``."""
+
+    # Spheres (world-baked: center = M*origin, radius *= uniform scale).
+    sph_center: jax.Array  # (Ns,3) f32
+    sph_radius: jax.Array  # (Ns,)  f32
+    sph_mat: jax.Array     # (Ns,)  i32
+    sph_valid: jax.Array   # (Ns,)  bool
+
+    # Quads (world-baked: center, half-extent edge vectors, unit normal).
+    quad_center: jax.Array  # (Nq,3)
+    quad_u: jax.Array       # (Nq,3)  center->mid-right edge (half width)
+    quad_v: jax.Array       # (Nq,3)  center->mid-top edge (half height)
+    quad_normal: jax.Array  # (Nq,3)  unit
+    quad_mat: jax.Array     # (Nq,)
+    quad_valid: jax.Array   # (Nq,)
+
+    # Triangles (world-baked vertices + shading normals).
+    tri_v0: jax.Array  # (Nt,3)
+    tri_v1: jax.Array
+    tri_v2: jax.Array
+    tri_n0: jax.Array
+    tri_n1: jax.Array
+    tri_n2: jax.Array
+    tri_mat: jax.Array    # (Nt,)
+    tri_valid: jax.Array  # (Nt,)
+
+    # Material table.
+    mat_type: jax.Array    # (Nm,) i32
+    mat_albedo: jax.Array  # (Nm,3)
+    mat_rough: jax.Array   # (Nm,)
+    mat_ior: jax.Array     # (Nm,)
+    mat_emit: jax.Array    # (Nm,3)
+
+    # Sky radiance added on ray escape (cuda_megakernel/renderer.cu:159).
+    sky: jax.Array  # (3,)
+
+    @property
+    def num_spheres(self) -> int:
+        return int(self.sph_radius.shape[0])
+
+    @property
+    def num_quads(self) -> int:
+        return int(self.quad_mat.shape[0])
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_mat.shape[0])
+
+    @property
+    def num_primitives(self) -> int:
+        # Counts only valid (non-padding) primitives; pads are created
+        # statically so a python int is fine here.
+        return (int(np.asarray(self.sph_valid).sum())
+                + int(np.asarray(self.quad_valid).sum())
+                + int(np.asarray(self.tri_valid).sum()))
+
+
+TransformSpec = Union[np.ndarray, Tuple, None]
+
+
+def _resolve_transform(transform: TransformSpec) -> np.ndarray:
+    if transform is None:
+        return np.eye(4)
+    if isinstance(transform, np.ndarray):
+        return transform
+    scale, euler_deg, translation = transform
+    return geo.make_transform(scale, euler_deg, translation)
+
+
+class Scene:
+    """Mutable scene builder; ``build()`` compiles to SceneData.
+
+    API shape mirrors the reference pools (AddLambertian/AddMetal/
+    AddDielectric/AddEmissive, AddCircle/AddQuad + AddPrimitive) but returns
+    integer ids instead of tagged pointers."""
+
+    def __init__(self, preset: Optional[ScenePreset] = ScenePreset.RANDOM_BALLS_LARGE):
+        self._mat_type: List[int] = []
+        self._mat_albedo: List[np.ndarray] = []
+        self._mat_rough: List[float] = []
+        self._mat_ior: List[float] = []
+        self._mat_emit: List[np.ndarray] = []
+
+        self._sph: List[Tuple[np.ndarray, float, int]] = []  # center, radius, mat
+        self._quad: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
+        self._tri: List[Tuple] = []  # v0,v1,v2,n0,n1,n2,mat
+
+        # Set per preset (scene.cpp:65,282,334) but never consumed by the
+        # reference backends — kept for the improved sky-scaling mode.
+        self.sky_light_intensity = 1.0
+        self.sky_color = np.array(DEFAULT_SKY, dtype=np.float64)
+
+        self._cache: Optional[SceneData] = None
+
+        if preset is not None:
+            _PRESET_BUILDERS[preset](self)
+
+    # ------------------------------------------------------------ materials
+    def _add_material(self, mtype: int, albedo=(0, 0, 0), rough=0.0,
+                      ior=1.0, emit=(0, 0, 0)) -> int:
+        self._cache = None
+        self._mat_type.append(mtype)
+        self._mat_albedo.append(np.asarray(albedo, dtype=np.float64))
+        self._mat_rough.append(float(rough))
+        self._mat_ior.append(float(ior))
+        self._mat_emit.append(np.asarray(emit, dtype=np.float64))
+        return len(self._mat_type) - 1
+
+    def add_lambertian(self, albedo) -> int:
+        return self._add_material(MAT_LAMBERTIAN, albedo=albedo)
+
+    def add_metal(self, albedo, roughness: float) -> int:
+        return self._add_material(MAT_METAL, albedo=albedo, rough=roughness)
+
+    def add_dielectric(self, refraction_index: float) -> int:
+        return self._add_material(MAT_DIELECTRIC, ior=refraction_index)
+
+    def add_emissive(self, emission) -> int:
+        return self._add_material(MAT_EMISSIVE, emit=emission)
+
+    @property
+    def num_materials(self) -> int:
+        return len(self._mat_type)
+
+    # ----------------------------------------------------------- primitives
+    def add_sphere(self, radius: float, material: int,
+                   transform: TransformSpec = None) -> None:
+        """Reference 'Circle' shape (shape.h:17-29) baked to world space."""
+        self._cache = None
+        m = _resolve_transform(transform)
+        scale = geo.uniform_scale_of(m)
+        center = geo.transform_point(m, (0.0, 0.0, 0.0))
+        self._sph.append((center, float(radius) * scale, material))
+
+    def add_quad(self, width: float, height: float, material: int,
+                 transform: TransformSpec = None) -> None:
+        """Local y=0 plane, x in [-w/2,w/2], z in [-h/2,h/2], normal +Y
+        (shape.h:31-47), baked like optix/renderer.cpp:649-671."""
+        self._cache = None
+        m = _resolve_transform(transform)
+        inv = np.linalg.inv(m)
+        center = geo.transform_point(m, (0.0, 0.0, 0.0))
+        u = geo.transform_point(m, (width / 2.0, 0.0, 0.0)) - center
+        v = geo.transform_point(m, (0.0, 0.0, height / 2.0)) - center
+        n = geo.transform_normal(inv, (0.0, 1.0, 0.0))
+        self._quad.append((center, u, v, n, material))
+
+    def add_triangle(self, v0, v1, v2, n0=None, n1=None, n2=None,
+                     material: int = 0, transform: TransformSpec = None) -> None:
+        self._cache = None
+        m = _resolve_transform(transform)
+        inv = np.linalg.inv(m)
+        w0 = geo.transform_point(m, v0)
+        w1 = geo.transform_point(m, v1)
+        w2 = geo.transform_point(m, v2)
+        if n0 is None:
+            gn = np.cross(w1 - w0, w2 - w0)
+            nrm = np.linalg.norm(gn)
+            gn = gn / nrm if nrm > 0 else np.array([0.0, 1.0, 0.0])
+            wn0 = wn1 = wn2 = gn
+        else:
+            wn0 = geo.transform_normal(inv, n0)
+            wn1 = geo.transform_normal(inv, n1)
+            wn2 = geo.transform_normal(inv, n2)
+        self._tri.append((w0, w1, w2, wn0, wn1, wn2, material))
+
+    def add_mesh(self, mesh, material: int,
+                 transform: TransformSpec = None) -> None:
+        """Add every triangle of a Mesh (core/mesh.py) — activates the
+        reference's dormant Mesh/Triangle path (mesh.cpp, shape.h:262-303)."""
+        self._cache = None
+        m = _resolve_transform(transform)
+        inv = np.linalg.inv(m)
+        verts = np.asarray(mesh.vertices, dtype=np.float64)
+        idx = np.asarray(mesh.indices, dtype=np.int64).reshape(-1, 3)
+        w = verts @ m[:3, :3].T + m[:3, 3]
+        if mesh.normals is not None and len(mesh.normals) == len(verts):
+            nrm = np.asarray(mesh.normals, dtype=np.float64) @ inv[:3, :3]
+            lens = np.linalg.norm(nrm, axis=1, keepdims=True)
+            nrm = nrm / np.maximum(lens, 1e-30)
+        else:
+            nrm = None
+        for (a, b, c) in idx:
+            if nrm is not None:
+                self._tri.append((w[a], w[b], w[c], nrm[a], nrm[b], nrm[c], material))
+            else:
+                gn = np.cross(w[b] - w[a], w[c] - w[a])
+                ln = np.linalg.norm(gn)
+                gn = gn / ln if ln > 0 else np.array([0.0, 1.0, 0.0])
+                self._tri.append((w[a], w[b], w[c], gn, gn, gn, material))
+
+    @property
+    def num_primitives(self) -> int:
+        return len(self._sph) + len(self._quad) + len(self._tri)
+
+    # ---------------------------------------------------------------- build
+    def build(self, dtype=jnp.float32) -> SceneData:
+        if self._cache is not None:
+            return self._cache
+
+        def f32(x):
+            return jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+
+        # Spheres (pad one inert if empty).
+        sph = self._sph or [(np.array([0.0, 0.0, 0.0]), 0.0, 0)]
+        sph_valid = np.array([True] * len(self._sph) or [False])
+        sph_center = f32([s[0] for s in sph])
+        sph_radius = f32([s[1] for s in sph])
+        sph_mat = jnp.asarray([s[2] for s in sph], dtype=jnp.int32)
+
+        quad = self._quad or [(np.zeros(3), np.array([1.0, 0, 0]),
+                               np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 0)]
+        quad_valid = np.array([True] * len(self._quad) or [False])
+        quad_center = f32([q[0] for q in quad])
+        quad_u = f32([q[1] for q in quad])
+        quad_v = f32([q[2] for q in quad])
+        quad_normal = f32([q[3] for q in quad])
+        quad_mat = jnp.asarray([q[4] for q in quad], dtype=jnp.int32)
+
+        tri = self._tri or [(np.zeros(3), np.zeros(3), np.zeros(3),
+                             np.array([0, 1.0, 0]), np.array([0, 1.0, 0]),
+                             np.array([0, 1.0, 0]), 0)]
+        tri_valid = np.array([True] * len(self._tri) or [False])
+        tri_v0 = f32([t[0] for t in tri])
+        tri_v1 = f32([t[1] for t in tri])
+        tri_v2 = f32([t[2] for t in tri])
+        tri_n0 = f32([t[3] for t in tri])
+        tri_n1 = f32([t[4] for t in tri])
+        tri_n2 = f32([t[5] for t in tri])
+        tri_mat = jnp.asarray([t[6] for t in tri], dtype=jnp.int32)
+
+        mats = self._mat_type or [MAT_LAMBERTIAN]
+        if not self._mat_type:
+            self._add_material(MAT_LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
+            mats = self._mat_type
+
+        data = SceneData(
+            sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
+            sph_valid=jnp.asarray(sph_valid),
+            quad_center=quad_center, quad_u=quad_u, quad_v=quad_v,
+            quad_normal=quad_normal, quad_mat=quad_mat,
+            quad_valid=jnp.asarray(quad_valid),
+            tri_v0=tri_v0, tri_v1=tri_v1, tri_v2=tri_v2,
+            tri_n0=tri_n0, tri_n1=tri_n1, tri_n2=tri_n2,
+            tri_mat=tri_mat, tri_valid=jnp.asarray(tri_valid),
+            mat_type=jnp.asarray(mats, dtype=jnp.int32),
+            mat_albedo=f32(self._mat_albedo),
+            mat_rough=f32(self._mat_rough),
+            mat_ior=f32(self._mat_ior),
+            mat_emit=f32(self._mat_emit),
+            sky=f32(self.sky_color),
+        )
+        self._cache = data
+        return data
+
+
+# ----------------------------------------------------------------------------
+# Presets — line-by-line behavioral replicas of scene.cpp:62-350.
+# ----------------------------------------------------------------------------
+
+def _t(scale, euler, trans):
+    return geo.make_transform(scale, euler, trans)
+
+
+def _init_random_balls(scene: Scene, ball_count: int) -> None:
+    """scene.cpp:62-170 (ground quad + N random balls + 8 emissive)."""
+    scene.sky_light_intensity = 1.0
+    ground = scene.add_lambertian((0.5, 0.5, 0.5))
+    scene.add_quad(200.0, 200.0, ground, None)
+
+    rng = UniformSceneRng(1337)  # scene.cpp:86
+
+    for _ in range(ball_count):
+        radius = rng.uniform(0.2, 1.0)
+        pos = (rng.uniform(-40.0, 40.0), radius, rng.uniform(-40.0, 40.0))
+        # NOTE draw order matters: reference draws radius, then pos.x, pos.z
+        # interleaved with construction; glm vec3(x, radius, z) evaluates
+        # distPos twice after distRadius — we matched that order above.
+        m = rng.uniform()
+        if m < 0.65:
+            mat = scene.add_lambertian((rng.uniform(), rng.uniform(), rng.uniform()))
+        elif m < 0.9:
+            g = 0.7 + 0.3 * rng.uniform()
+            mat = scene.add_metal((g, g, g), 0.05 * rng.uniform())
+        else:
+            mat = scene.add_dielectric(1.3 + 0.4 * rng.uniform())
+        scene.add_sphere(radius, mat, _t((1, 1, 1), (0, 0, 0), pos))
+
+    for _ in range(8):
+        pos = (rng.uniform(-40.0, 40.0), 8.0, rng.uniform(-40.0, 40.0))
+        e = 10.0 + 10.0 * rng.uniform()
+        mat = scene.add_emissive((e, e, e))
+        scene.add_sphere(1.5, mat, _t((1, 1, 1), (0, 0, 0), pos))
+
+
+def _init_default(scene: Scene) -> None:
+    """scene.cpp:188-278."""
+    em = scene.add_emissive((10, 5, 5))
+    scene.add_sphere(1.0, em, _t((2, 2, 2), (0, 0, 0), (5, 6, 0)))
+
+    qe = scene.add_emissive((3, 4, 2))
+    scene.add_quad(8, 8, qe, _t((1, 1, 1), (50, 0, 0), (-4, 7, 7)))
+    qe2 = scene.add_emissive((3, 2, 1))
+    scene.add_quad(8, 8, qe2, _t((1, 1, 1), (50, 0, 0), (4, 7, 7)))
+
+    green = scene.add_lambertian((0.2, 1.0, 0.2))
+    scene.add_sphere(1.0, green, _t((1, 1, 1), (0, 0, 0), (4, 1, 0)))
+    red = scene.add_lambertian((1.0, 0.2, 0.2))
+    scene.add_sphere(1.0, red, _t((1, 1, 1), (0, 0, 0), (-4, 1, 0)))
+    # Intentional-looking sub-unity IoR in the reference (scene.cpp:246).
+    diel = scene.add_dielectric(0.9)
+    scene.add_sphere(1.0, diel, _t((1, 1, 1), (0, 0, 0), (0, 1, 4)))
+    metal = scene.add_metal((1.0, 0.7, 0.8), 0.01)
+    scene.add_sphere(1.0, metal, _t((1, 1, 1), (0, 0, 0), (0, 1, -4)))
+    ground = scene.add_lambertian((0.7, 0.7, 0.4))
+    scene.add_quad(20, 20, ground, None)
+
+
+def _init_light_test(scene: Scene) -> None:
+    """scene.cpp:280-305 (emissive-only lighting; sky intensity 0)."""
+    scene.sky_light_intensity = 0.0
+    ground = scene.add_lambertian((0.6, 0.6, 0.6))
+    scene.add_quad(30, 30, ground, None)
+    for i in range(-5, 6):
+        mat = scene.add_emissive((4, 4, 4))
+        scene.add_sphere(0.5, mat, _t((1, 1, 1), (0, 0, 0), (i * 2.0, 6, 0)))
+
+
+def _init_material_test(scene: Scene) -> None:
+    """scene.cpp:307-330 (one sphere per BSDF over a ground quad)."""
+    ground = scene.add_lambertian((0.8, 0.8, 0.8))
+    scene.add_quad(25, 25, ground, None)
+    scene.add_sphere(1.0, scene.add_lambertian((1, 0, 0)),
+                     _t((1, 1, 1), (0, 0, 0), (-4, 1, 0)))
+    scene.add_sphere(1.0, scene.add_metal((0.9, 0.9, 0.9), 0.0),
+                     _t((1, 1, 1), (0, 0, 0), (0, 1, 0)))
+    scene.add_sphere(1.0, scene.add_dielectric(1.5),
+                     _t((1, 1, 1), (0, 0, 0), (4, 1, 0)))
+
+
+def _init_cornell(scene: Scene) -> None:
+    """scene.cpp:332-350."""
+    scene.sky_light_intensity = 0.0
+    red = scene.add_lambertian((0.75, 0.1, 0.1))
+    green = scene.add_lambertian((0.1, 0.75, 0.1))
+    white = scene.add_lambertian((0.8, 0.8, 0.8))
+    scene.add_quad(10, 10, white, None)
+    scene.add_quad(10, 10, red, _t((1, 1, 1), (90, 0, 0), (-5, 5, 0)))
+    scene.add_quad(10, 10, green, _t((1, 1, 1), (90, 0, 0), (5, 5, 0)))
+    light = scene.add_emissive((15, 15, 15))
+    scene.add_quad(10, 10, light, _t((1, 1, 1), (90, 0, 0), (0, 9, 0)))
+
+
+_PRESET_BUILDERS = {
+    ScenePreset.DEFAULT: _init_default,
+    ScenePreset.LIGHT_TEST: _init_light_test,
+    ScenePreset.MATERIAL_TEST: _init_material_test,
+    ScenePreset.CORNELL: _init_cornell,
+    ScenePreset.RANDOM_BALLS_SMALL: lambda s: _init_random_balls(s, 100),
+    ScenePreset.RANDOM_BALLS_MEDIUM: lambda s: _init_random_balls(s, 400),
+    ScenePreset.RANDOM_BALLS_LARGE: lambda s: _init_random_balls(s, 800),
+}

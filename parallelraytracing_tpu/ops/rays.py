@@ -1,0 +1,71 @@
+"""Device-side camera ray generation.
+
+Vectorized replica of Camera::GetCameraRay
+(/root/reference/src/core/camera.h:104-132): pinhole with vertical FoV of
+1 radian (tanFovY = tan(0.5)), Y-flipped NDC, looking down -Z, world dir
+= x*right + y*up + z*(-front).  Optional sub-pixel jitter reproduces the
+OptiX backend's anti-aliasing (device_programs.cu:172-173); the other
+reference backends sample pixel centers (+0.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+TAN_FOVY = math.tan(0.5)
+
+
+def _norm(v: jax.Array, axis: int = -1) -> jax.Array:
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def generate_camera_rays(
+    cam_params: jax.Array,
+    width: int,
+    height: int,
+    key: jax.Array | None = None,
+    jitter: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (origins, directions), each (H*W, 3) f32, row-major like the
+    reference film (pixel index = y*W + x, film.h:48-49).
+
+    cam_params: packed [position(3), right(3), up(3), front(3), w, h]
+    (Camera.ray_params())."""
+    pos = cam_params[0:3]
+    right = cam_params[3:6]
+    up = cam_params[6:9]
+    front = cam_params[9:12]
+
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+
+    if jitter and key is not None:
+        jx, jy = jax.random.uniform(key, (2, height, width), dtype=jnp.float32)
+        px = x + jx
+        py = y + jy
+    else:
+        px = x + 0.5
+        py = y + 0.5
+
+    ndc_x = (px / width) * 2.0 - 1.0
+    ndc_y = 1.0 - (py / height) * 2.0
+    aspect = width / height
+
+    dx = ndc_x * (aspect * TAN_FOVY)
+    dy = ndc_y * TAN_FOVY
+    dz = -jnp.ones_like(dx)
+
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+
+    # World direction: x*right + y*up + (-1)*(-front) = x*right + y*up + front
+    d = (dx[..., None] * right + dy[..., None] * up + dz[..., None] * (-front))
+    d = _norm(d)
+
+    o = jnp.broadcast_to(pos, d.shape)
+    n = height * width
+    return o.reshape(n, 3), d.reshape(n, 3)
