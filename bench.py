@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: Mrays/sec/chip on the reference's headline workload.
+
+Workload (matching the reference defaults, SURVEY.md §6): scene
+RANDOM_BALLS_LARGE (809 primitives), 1920x1080, 1 spp per progressive
+frame, max depth 20.  The metric counts every ray actually traced
+(camera rays + alive bounce rays, measured by instrumenting one frame)
+divided by steady-state wall time per frame on one chip.
+
+Prints ONE JSON line:
+  {"metric": "Mrays_per_sec_per_chip", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N/200}
+vs_baseline is against the 200 Mrays/s/chip north-star (BASELINE.md) —
+the reference itself publishes no numbers.
+
+Env knobs: BENCH_WIDTH/HEIGHT/DEPTH/FRAMES/PRESET/ENGINE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_compilation"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from parallelraytracing_tpu import (Film, RenderConfig, Scene,
+                                        ScenePreset, create_renderer)
+    from parallelraytracing_tpu.core.camera import Camera
+    from parallelraytracing_tpu.engines.tracer import count_bounce_rays
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    depth = int(os.environ.get("BENCH_DEPTH", 20))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+    preset = ScenePreset(os.environ.get("BENCH_PRESET", "random_balls_large"))
+    engine = os.environ.get("BENCH_ENGINE", "megakernel")
+
+    cfg = RenderConfig(width=width, height=height, max_depth=depth, seed=0)
+    scene = Scene(preset)
+
+    # Camera overlooking the ball field (the viewer's default eye is too
+    # close to the ground for a representative view of 809 prims).
+    pos = np.array([30.0, 18.0, 30.0])
+    cam = Camera(pos, -pos, float(width), float(height), 100.0)
+
+    film = Film(width, height)
+    r = create_renderer(engine)
+    r.init(film, scene, cam, cfg)
+
+    # Warm up / compile.
+    r.progressive_render()
+    jax.block_until_ready(film.accum)
+
+    # Count actual rays traced per frame (camera + alive bounce rays).
+    rays_per_frame = count_bounce_rays(
+        r._scene_data, r._cam_params, jax.random.PRNGKey(123), cfg)
+
+    t0 = time.time()
+    for _ in range(frames):
+        r.progressive_render()
+    jax.block_until_ready(film.accum)
+    dt = (time.time() - t0) / frames
+
+    mrays = rays_per_frame / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays_per_sec_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+        "detail": {
+            "engine": engine,
+            "preset": preset.value,
+            "resolution": f"{width}x{height}",
+            "max_depth": depth,
+            "rays_per_frame": int(rays_per_frame),
+            "ms_per_frame": round(dt * 1000.0, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

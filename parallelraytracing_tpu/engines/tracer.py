@@ -17,6 +17,7 @@ Faithful semantics:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -99,6 +100,60 @@ def trace_paths(
     state = (jnp.int32(0), o, d, radiance, throughput, alive)
     state = jax.lax.while_loop(cond, body, state)
     return state[3]
+
+
+def count_bounce_rays(scene: SceneData, cam_params: jax.Array,
+                      key: jax.Array, cfg: RenderConfig) -> float:
+    """Total rays actually traced in one frame (camera rays + rays still
+    alive at each bounce) — the quantity the Mrays/s benchmark divides by
+    wall time.  Runs the same bounce loop with an alive-count accumulator."""
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays
+
+    intersect = make_brute_force_intersector(cfg)
+
+    @partial(jax.jit, static_argnames=())
+    def _count(scene, o, d, key):
+        r = o.shape[0]
+        alive = jnp.ones((r,), bool)
+        throughput = jnp.ones((r, 3), o.dtype)
+
+        def body(state):
+            depth, o, d, alive, count = state
+            count = count + jnp.sum(alive.astype(jnp.int32))
+            hit = intersect(scene, o, d)
+            k = jax.random.fold_in(key, depth)
+            k_dir, k_uni = jax.random.split(k)
+            unit = random_unit_vectors(k_dir, r)
+            uni = jax.random.uniform(k_uni, (r,), dtype=o.dtype)
+            new_d, _, scat_alive = scatter(scene, d, hit, unit, uni)
+            cont = alive & hit.hit & scat_alive
+            o = jnp.where(cont[:, None], hit.pos, o)
+            d = jnp.where(cont[:, None], new_d, d)
+            return depth + 1, o, d, cont, count
+
+        def cond(state):
+            depth, _, _, alive, _ = state
+            return (depth < cfg.max_depth) & jnp.any(alive)
+
+        state = (jnp.int32(0), o, d, alive, jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        return state[4]
+
+    o, d = generate_camera_rays(cam_params, cfg.width, cfg.height, None,
+                                False)
+    total = 0
+    tile = min(cfg.ray_tile, o.shape[0])
+    n = o.shape[0]
+    for s in range(0, n, tile):
+        e = min(s + tile, n)
+        ot = jnp.pad(o[s:e], ((0, tile - (e - s)), (0, 0)))
+        dt = jnp.pad(d[s:e], ((0, tile - (e - s)), (0, 0)),
+                     constant_values=1.0)
+        c = int(_count(scene, ot, dt, jax.random.fold_in(key, s)))
+        if e - s < tile:
+            c = int(c * (e - s) / tile)  # padded dummy rays pro-rated
+        total += c
+    return float(total)
 
 
 def trace_paths_tiled(

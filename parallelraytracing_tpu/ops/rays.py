@@ -69,3 +69,44 @@ def generate_camera_rays(
     o = jnp.broadcast_to(pos, d.shape)
     n = height * width
     return o.reshape(n, 3), d.reshape(n, 3)
+
+
+def generate_camera_rays_flat(
+    cam_params: jax.Array,
+    width: int,
+    height: int,
+    start: jax.Array | int,
+    count: int,
+    key: jax.Array | None = None,
+    jitter: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rays for the flat pixel-index range [start, start+count) — the
+    primitive for sharded/tiled raygen where each device or tile generates
+    only its own block (indices past H*W produce harmless dummy rays)."""
+    pos = cam_params[0:3]
+    right = cam_params[3:6]
+    up = cam_params[6:9]
+    front = cam_params[9:12]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0] + start
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+
+    if jitter and key is not None:
+        j = jax.random.uniform(key, (count, 2), dtype=jnp.float32)
+        px, py = x + j[:, 0], y + j[:, 1]
+    else:
+        px, py = x + 0.5, y + 0.5
+
+    ndc_x = (px / width) * 2.0 - 1.0
+    ndc_y = 1.0 - (py / height) * 2.0
+    dx = ndc_x * (width / height * TAN_FOVY)
+    dy = ndc_y * TAN_FOVY
+    dz = -jnp.ones_like(dx)
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+
+    d = (dx[:, None] * right + dy[:, None] * up + dz[:, None] * (-front))
+    d = _norm(d)
+    o = jnp.broadcast_to(pos, d.shape)
+    return o, d

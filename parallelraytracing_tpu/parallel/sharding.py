@@ -1,0 +1,111 @@
+"""Multi-chip rendering: shard_map over a ("px", "spp") device mesh.
+
+The reference is strictly single-process single-GPU; its only parallel axis
+is pixels within one device (SURVEY.md §2.4).  The TPU-native scale-out
+axes for a path tracer are:
+
+- "px"  — spatial data parallelism: each chip generates and traces a
+  contiguous block of pixels (the tile/grid analogue of
+  cpu/renderer.cpp:20-33 and the CUDA launch grids, but across chips).
+  The scene is replicated; no communication during tracing.
+- "spp" — sample parallelism: chips render the SAME pixel block with
+  different sample streams; the per-frame film contribution is their
+  `psum` riding ICI — the multi-chip generalization of
+  Film::AddSampleBufferGPU (film.cu:79-99).
+
+Both axes compose in one 2D mesh.  Radiance is psum'd over "spp", leaving
+the frame sharded over "px"; the film can stay px-sharded, gathering only
+for display.  Everything is `shard_map` + explicit collectives so XLA
+schedules the psum over ICI; the mesh IS the communication backend — there
+is no NCCL/MPI analogue to port (SURVEY.md §2.4, §5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from parallelraytracing_tpu.config import RenderConfig
+from parallelraytracing_tpu.core.scene import SceneData
+from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
+from parallelraytracing_tpu.ops.rays import generate_camera_rays_flat
+
+
+def make_render_mesh(devices=None, spp_axis: Optional[int] = None) -> Mesh:
+    """Build a ("px","spp") mesh. By default all devices go to the pixel
+    axis (pure spatial DP); pass spp_axis>1 to split off sample
+    parallelism."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    spp = spp_axis or 1
+    assert n % spp == 0, f"{n} devices not divisible by spp axis {spp}"
+    arr = np.array(devices).reshape(n // spp, spp)
+    return Mesh(arr, axis_names=("px", "spp"))
+
+
+def shard_block_size(cfg: RenderConfig, mesh: Mesh) -> int:
+    """Pixels per px-shard (global pixel count padded up to the mesh)."""
+    n_px = mesh.shape["px"]
+    return -(-cfg.pixel_count // n_px)
+
+
+def render_frame_sharded(
+    scene: SceneData,
+    cam_params: jax.Array,
+    key: jax.Array,
+    cfg: RenderConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """One progressive frame over the mesh; NOT jitted itself — wrap in
+    jax.jit (see render_frame_sharded_jit).
+
+    Returns (H*W, 3) mean radiance over the mesh's spp axis x
+    cfg.samples_per_frame samples, sharded over "px"."""
+    blk = shard_block_size(cfg, mesh)
+    n_spp = mesh.shape["spp"]
+    r = cfg.pixel_count
+
+    def per_device(scene_rep, cam_rep, k):
+        px_i = jax.lax.axis_index("px")
+        spp_i = jax.lax.axis_index("spp")
+        start = px_i * blk
+        dev_key = jax.random.fold_in(jax.random.fold_in(k, px_i), spp_i)
+
+        def one_sample(s, acc):
+            skey = jax.random.fold_in(dev_key, s)
+            k_jit, k_path = jax.random.split(skey)
+            o, d = generate_camera_rays_flat(
+                cam_rep, cfg.width, cfg.height, start, blk,
+                k_jit, cfg.jitter)
+            return acc + trace_paths_tiled(scene_rep, o, d, k_path, cfg)
+
+        acc = jnp.zeros((blk, 3), jnp.float32)
+        if cfg.samples_per_frame > 1:
+            acc = jax.lax.fori_loop(0, cfg.samples_per_frame, one_sample, acc)
+        else:
+            acc = one_sample(0, acc)
+        # Sum the sample streams across the "spp" axis (ICI collective).
+        return jax.lax.psum(acc, axis_name="spp")
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P("px", None),
+        # The tracer's loop carries mix replicated inits with
+        # device-varying ray state; skip the varying-manual-axes type
+        # check rather than thread pvary through every carry.
+        check_vma=False,
+    )
+    out = shard(scene, cam_params, key)
+    return out[:r] / (n_spp * cfg.samples_per_frame)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frame_sharded_jit(scene, cam_params, key, cfg, mesh):
+    return render_frame_sharded(scene, cam_params, key, cfg, mesh)

@@ -1,14 +1,12 @@
 """Test config: force CPU jax with 8 virtual devices so multi-chip sharding
-logic is testable without a TPU pod (SURVEY.md §4)."""
+logic is testable without a TPU pod (SURVEY.md §4).
 
-import os
+NOTE: the JAX_PLATFORMS env var is overridden by the axon TPU plugin's
+sitecustomize on this image, so the platform must be forced through
+jax.config BEFORE any backend initialization."""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

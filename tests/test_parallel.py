@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelraytracing_tpu import RenderConfig, Scene, ScenePreset
+from parallelraytracing_tpu.core.camera import default_camera
+from parallelraytracing_tpu.engines.megakernel import raygen, trace
+from parallelraytracing_tpu.parallel.sharding import (
+    make_render_mesh, render_frame_sharded_jit, shard_block_size)
+
+
+def small_cfg(**kw):
+    base = dict(width=32, height=16, max_depth=4, samples_per_frame=1,
+                seed=3, intersect_chunk=16, ray_tile=1 << 10, jitter=False)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("px,spp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_mesh_shapes(px, spp):
+    mesh = make_render_mesh(spp_axis=spp)
+    assert mesh.shape == {"px": px, "spp": spp}
+
+
+def test_sharded_render_matches_single_device():
+    cfg = small_cfg()
+    scene = Scene(ScenePreset.MATERIAL_TEST).build()
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    key = jax.random.PRNGKey(0)
+
+    mesh = make_render_mesh(spp_axis=1)  # 8-way pixel sharding
+    sharded = np.asarray(render_frame_sharded_jit(scene, cam, key, cfg, mesh))
+
+    # Single-device reference with identical per-shard RNG: px-shard i uses
+    # fold_in(fold_in(key, i), 0) then fold_in(.., sample); replicate that.
+    blk = shard_block_size(cfg, mesh)
+    ref = np.zeros((cfg.pixel_count, 3), np.float32)
+    from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_flat
+    for i in range(mesh.shape["px"]):
+        dev_key = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+        skey = jax.random.fold_in(dev_key, 0)
+        k_jit, k_path = jax.random.split(skey)
+        o, d = generate_camera_rays_flat(cam, cfg.width, cfg.height,
+                                         i * blk, blk, k_jit, cfg.jitter)
+        out = np.asarray(trace_paths_tiled(scene, o, d, k_path, cfg))
+        lo, hi = i * blk, min((i + 1) * blk, cfg.pixel_count)
+        ref[lo:hi] = out[:hi - lo]
+
+    np.testing.assert_allclose(sharded, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spp_axis_averages_sample_streams():
+    cfg = small_cfg(jitter=True)
+    scene = Scene(ScenePreset.CORNELL).build()
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    key = jax.random.PRNGKey(1)
+
+    mesh81 = make_render_mesh(spp_axis=1)
+    mesh24 = make_render_mesh(spp_axis=4)
+    a = np.asarray(render_frame_sharded_jit(scene, cam, key, cfg, mesh81))
+    b = np.asarray(render_frame_sharded_jit(scene, cam, key, cfg, mesh24))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # 4 sample streams averaged -> same expectation, lower variance; means
+    # must agree statistically
+    assert abs(a.mean() - b.mean()) < 0.05
+    # and b really is an average of distinct streams, not a copy
+    assert not np.allclose(a, b)
+
+
+def test_sharded_output_is_px_sharded():
+    cfg = small_cfg()
+    scene = Scene(ScenePreset.MATERIAL_TEST).build()
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    mesh = make_render_mesh(spp_axis=2)
+    out = render_frame_sharded_jit(scene, cam, jax.random.PRNGKey(0), cfg, mesh)
+    assert out.shape == (cfg.pixel_count, 3)
+    # the result actually lives distributed over the px axis
+    assert len(out.sharding.device_set) == 8 or len(out.sharding.device_set) == 4
