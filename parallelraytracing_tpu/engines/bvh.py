@@ -1,0 +1,53 @@
+"""BVH engine: megakernel bounce loop over LBVH traversal.
+
+The analogue of the reference's OptiX backend (src/backend/optix/*): the
+acceleration structure is built once at init (renderer.cpp:703-871 builds
+its GAS/IAS once, never refits) and every bounce intersects through it
+instead of the O(N) primitive loop."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from parallelraytracing_tpu.accel.lbvh import BVHData, build_bvh
+from parallelraytracing_tpu.accel.traverse import bvh_intersect_scene
+from parallelraytracing_tpu.config import RenderConfig
+from parallelraytracing_tpu.core.scene import SceneData
+from parallelraytracing_tpu.engines.base import Renderer, register_engine
+from parallelraytracing_tpu.engines.megakernel import raygen
+from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bvh_trace(scene: SceneData, bvh: BVHData, o: jax.Array, d: jax.Array,
+              key: jax.Array, cfg: RenderConfig) -> jax.Array:
+    def intersect(s, oo, dd):
+        return bvh_intersect_scene(s, bvh, oo, dd, cfg.t_min, cfg.t_max)
+
+    return trace_paths_tiled(scene, o, d, key, cfg, intersect)
+
+
+@register_engine
+class BVHRenderer(Renderer):
+    name = "bvh"
+
+    def _post_init(self) -> None:
+        # AS build at Init (optix/renderer.cpp:949-1010 analogue).
+        self._bvh = jax.device_put(build_bvh(self._scene_data))
+
+    def render_sample_buffer(self, frame_index: int) -> jax.Array:
+        cfg = self.config
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), jnp.uint32(frame_index))
+        acc = None
+        for s in range(cfg.samples_per_frame):
+            skey = jax.random.fold_in(base, jnp.uint32(s))
+            k_jit, k_path = jax.random.split(skey)
+            o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
+                          cfg.jitter)
+            rad = bvh_trace(self._scene_data, self._bvh, o, d, k_path, cfg)
+            acc = rad if acc is None else acc + rad
+        return acc / cfg.samples_per_frame
