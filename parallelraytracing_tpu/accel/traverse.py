@@ -23,7 +23,7 @@ from parallelraytracing_tpu.core.scene import (
     KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE, SceneData)
 from parallelraytracing_tpu.ops.intersect import HitRecord, resolve_hit
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # plain float: keeps package import from initializing a jax backend
 
 
 def _dot(a, b):

@@ -1,0 +1,152 @@
+"""Command-line renderer.
+
+The reference has no CLI at all (`int main()` takes no arguments,
+main.cpp:85; everything is a compile-time constant) — this is the required
+improvement noted in SURVEY.md §5.  Renders N progressive frames of a
+preset or PLY scene with any engine and writes a PNG (plus optional film
+checkpoint for resuming — a capability the reference lacks entirely).
+
+Usage:
+    python -m parallelraytracing_tpu.cli --scene cornell --frames 64 \
+        --engine bvh --width 512 --height 512 --out cornell.png
+    python -m parallelraytracing_tpu.cli --ply assets/bunny.ply --frames 16
+    python -m parallelraytracing_tpu.cli --scene default \
+        --resume ckpt.npz --checkpoint ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="parallelraytracing_tpu",
+        description="TPU-native progressive path tracer")
+    p.add_argument("--scene", default="random_balls_large",
+                   help="preset name (default, light_test, material_test, "
+                        "cornell, random_balls_{small,medium,large})")
+    p.add_argument("--ply", default=None,
+                   help="render a PLY mesh instead of a preset")
+    p.add_argument("--engine", default="bvh",
+                   help="megakernel | wavefront | bvh")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--frames", type=int, default=16,
+                   help="progressive frames (1 spp each by default)")
+    p.add_argument("--spp", type=int, default=1,
+                   help="samples per pixel per frame")
+    p.add_argument("--depth", type=int, default=20, help="max path depth")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-jitter", action="store_true",
+                   help="sample pixel centers (reference CPU/CUDA behavior)")
+    p.add_argument("--eye", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--look-at", type=float, nargs=3, default=(0, 0, 0),
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=2.2)
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="save film state here after rendering")
+    p.add_argument("--resume", default=None,
+                   help="load film state and continue accumulating")
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu for no-TPU runs)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage timing each frame (the ImGui "
+                        "timing-graph analogue, main.cpp:265-462)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from parallelraytracing_tpu import (Film, RenderConfig, Scene,
+                                        ScenePreset, create_renderer)
+    from parallelraytracing_tpu.core.camera import Camera, default_camera
+    from parallelraytracing_tpu.utils.timing import FrameTimer
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_depth=args.depth, samples_per_frame=args.spp,
+                       jitter=not args.no_jitter, seed=args.seed)
+
+    if args.ply:
+        from parallelraytracing_tpu.core.mesh import load_ply
+        mesh = load_ply(args.ply)
+        scene = Scene(preset=None)
+        mat = scene.add_lambertian((0.75, 0.65, 0.5))
+        scene.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+        ground = scene.add_lambertian((0.5, 0.5, 0.5))
+        scene.add_quad(100, 100, ground, None)
+        light = scene.add_emissive((12, 12, 12))
+        scene.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+        default_eye = (0.0, 14.0, 28.0)
+        default_look = (0.0, 7.0, 0.0)
+    else:
+        scene = Scene(ScenePreset(args.scene))
+        default_eye = (5.0, 5.0, 8.0)  # main.cpp:142-150
+        default_look = (0.0, 0.0, 0.0)
+
+    eye = np.asarray(args.eye if args.eye is not None else default_eye,
+                     np.float64)
+    look = np.asarray(args.look_at if args.eye is not None else default_look,
+                      np.float64)
+    cam = Camera(eye, look - eye, float(args.width), float(args.height), 100.0)
+
+    if args.resume:
+        film, start_frame = Film.load_checkpoint(args.resume)
+        assert film.width == args.width and film.height == args.height, \
+            "checkpoint resolution mismatch"
+        print(f"resumed from {args.resume} at frame {start_frame} "
+              f"({film.sample_count} samples)")
+    else:
+        film = Film(args.width, args.height)
+        start_frame = 0
+
+    renderer = create_renderer(args.engine)
+    renderer.init(film, scene, cam, cfg)
+    renderer._frame_index = start_frame
+
+    timer = FrameTimer()
+    print(f"scene={args.ply or args.scene} engine={args.engine} "
+          f"{args.width}x{args.height} depth={cfg.max_depth} "
+          f"prims={scene.num_primitives} device={jax.devices()[0]}")
+
+    t_all = time.time()
+    for i in range(args.frames):
+        with timer.stage("render"):
+            renderer.progressive_render()
+            jax.block_until_ready(film.accum)
+        if args.stats:
+            print(f"frame {start_frame + i:4d}  "
+                  f"render {timer.last('render')*1e3:8.1f} ms  "
+                  f"fps {1.0 / max(timer.last('render'), 1e-9):6.1f}")
+    total = time.time() - t_all
+    print(f"{args.frames} frames in {total:.2f}s "
+          f"({args.frames / total:.2f} fps, "
+          f"{film.sample_count} samples accumulated)")
+
+    with timer.stage("tonemap"):
+        film.save_png(args.out, args.exposure, args.gamma)
+    print(f"wrote {args.out}")
+
+    if args.checkpoint:
+        film.save_checkpoint(args.checkpoint,
+                             frame_index=start_frame + args.frames)
+        print(f"checkpointed film to {args.checkpoint}")
+
+    if args.stats:
+        print(timer.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

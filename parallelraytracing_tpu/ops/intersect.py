@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from parallelraytracing_tpu.core.scene import (
     KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE, SceneData)
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # plain float: keeps package import from initializing a jax backend
 
 
 def _rk_dot(a: jax.Array, b: jax.Array) -> jax.Array:
