@@ -62,9 +62,12 @@ def main() -> None:
     r = create_renderer(engine)
     r.init(film, scene, cam, cfg)
 
-    # Warm up / compile.
+    from parallelraytracing_tpu.utils.sync import device_sync
+
+    # Warm up / compile (device_sync: block_until_ready does not actually
+    # wait on the axon backend).
     r.progressive_render()
-    jax.block_until_ready(film.accum)
+    device_sync(film.accum)
 
     # Count actual rays traced per frame (camera + alive bounce rays).
     rays_per_frame = count_bounce_rays(
@@ -73,7 +76,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(frames):
         r.progressive_render()
-    jax.block_until_ready(film.accum)
+    device_sync(film.accum)
     dt = (time.time() - t0) / frames
 
     mrays = rays_per_frame / dt / 1e6

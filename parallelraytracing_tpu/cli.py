@@ -72,6 +72,7 @@ def main(argv=None) -> int:
     from parallelraytracing_tpu import (Film, RenderConfig, Scene,
                                         ScenePreset, create_renderer)
     from parallelraytracing_tpu.core.camera import Camera, default_camera
+    from parallelraytracing_tpu.utils.sync import device_sync
     from parallelraytracing_tpu.utils.timing import FrameTimer
 
     cfg = RenderConfig(width=args.width, height=args.height,
@@ -124,7 +125,7 @@ def main(argv=None) -> int:
     for i in range(args.frames):
         with timer.stage("render"):
             renderer.progressive_render()
-            jax.block_until_ready(film.accum)
+            device_sync(film.accum)
         if args.stats:
             print(f"frame {start_frame + i:4d}  "
                   f"render {timer.last('render')*1e3:8.1f} ms  "

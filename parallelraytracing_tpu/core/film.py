@@ -92,8 +92,17 @@ class Film:
         return _hdr_average(self.accum, self.weights)
 
     def save_png(self, path: str, exposure: float = 1.0, gamma: float = 2.2) -> None:
+        img = self.display_numpy(exposure, gamma)
+        try:
+            from parallelraytracing_tpu import native
+            if native.available():
+                with open(path, "wb") as f:
+                    f.write(native.encode_png(img))
+                return
+        except Exception:
+            pass
         from parallelraytracing_tpu.utils.png import write_png
-        write_png(path, self.display_numpy(exposure, gamma))
+        write_png(path, img)
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str, frame_index: int = 0) -> None:

@@ -163,7 +163,8 @@ class ViewerState:
 
             t0 = time.perf_counter()
             self.renderer.progressive_render()
-            self.jax.block_until_ready(self.film.accum)
+            from parallelraytracing_tpu.utils.sync import device_sync
+            device_sync(self.film.accum)
             self.render_ms = (time.perf_counter() - t0) * 1e3
             self.fps = 1.0 / max(time.perf_counter() - t0, 1e-9)
             self.frame += 1
