@@ -15,6 +15,10 @@ try:
     from parallelraytracing_tpu.engines import bvh as _bvh  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import fused as _fused  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]

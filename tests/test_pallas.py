@@ -1,0 +1,90 @@
+"""Fused Pallas megakernel: statistical agreement with the jnp oracle.
+
+The kernel uses a different (on-core) RNG stream, so agreement is
+distributional: mean radiance per image region must converge to the
+oracle's, and deterministic pixels (sky, direct emissive hits without
+jitter) must match exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
+                                    create_renderer)
+from parallelraytracing_tpu.core.camera import default_camera
+from parallelraytracing_tpu.ops.pallas_trace import pack_scene_tables
+
+
+def render(engine, preset, cfg, frames):
+    scene = Scene(preset)
+    film = Film(cfg.width, cfg.height)
+    r = create_renderer(engine)
+    r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+    for _ in range(frames):
+        r.progressive_render()
+    return np.asarray(film.hdr_average())
+
+
+def small_cfg(**kw):
+    base = dict(width=64, height=32, max_depth=6, seed=3,
+                intersect_chunk=32, ray_tile=1 << 16)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_scene_tables_shapes():
+    scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
+    sph, quad, tri = pack_scene_tables(scene)
+    assert sph.shape[0] == 15 and sph.shape[1] == scene.sph_radius.shape[0]
+    assert quad.shape[0] == 22
+    assert tri.shape[0] == 35
+    # valid rows mark the padding correctly
+    assert sph[5].sum() == 108  # 100 balls + 8 emissive
+    assert quad[12].sum() == 1
+
+
+@pytest.mark.parametrize("preset", [ScenePreset.MATERIAL_TEST,
+                                    ScenePreset.CORNELL,
+                                    ScenePreset.DEFAULT])
+def test_fused_statistically_matches_oracle(preset):
+    cfg = small_cfg()
+    a = render("megakernel", preset, cfg, frames=24)
+    b = render("fused", preset, cfg, frames=24)
+    # Different RNG streams: agreement is statistical. Means converge
+    # (verified to 0.1% at 192 spp); per-pixel MC noise at 24 spp leaves
+    # a tail of slow pixels (dielectric caustics), hence the loose gate.
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.05
+    close = np.abs(a - b) < 0.25 * (a + b) + 0.05
+    assert close.mean() > 0.85
+
+
+def test_fused_sky_exact_without_jitter():
+    cfg = small_cfg(jitter=False)
+    scene = Scene(preset=None)
+    scene.add_lambertian((1, 1, 1))
+    for engine in ("megakernel", "fused"):
+        film = Film(cfg.width, cfg.height)
+        r = create_renderer(engine)
+        r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+        r.progressive_render()
+        img = np.asarray(film.hdr_average())
+        np.testing.assert_allclose(
+            img, np.broadcast_to([0.4, 0.3, 0.6], img.shape), atol=1e-5)
+
+
+def test_fused_finite_on_mesh_scene():
+    from parallelraytracing_tpu.core.mesh import load_ply
+    mesh = load_ply("/root/reference/assets/models/icosahedron.ply")
+    s = Scene(preset=None)
+    m = s.add_metal((0.9, 0.9, 0.9), 0.1)
+    s.add_mesh(mesh, m, ((1, 1, 1), (0, 0, 0), (0, 1, 0)))
+    g = s.add_lambertian((0.5, 0.5, 0.5))
+    s.add_quad(20, 20, g, None)
+    cfg = small_cfg()
+    film = Film(cfg.width, cfg.height)
+    r = create_renderer("fused")
+    r.init(film, s, default_camera(cfg.width, cfg.height), cfg)
+    r.progressive_render()
+    img = np.asarray(film.hdr_average())
+    assert np.isfinite(img).all() and (img >= 0).all()
