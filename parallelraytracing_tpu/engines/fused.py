@@ -31,8 +31,17 @@ class FusedRenderer(Renderer):
     #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
     rows: int = 16
 
+    #: SMEM capacity guard: scene tables must fit scalar memory.
+    max_table_bytes: int = 1 << 19
+
     def _post_init(self) -> None:
         sph, quad, tri = pack_scene_tables(jax.device_get(self._scene_data))
+        total = sph.nbytes + quad.nbytes + tri.nbytes
+        if total > self.max_table_bytes:
+            raise ValueError(
+                f"fused engine holds scene tables in SMEM; {total} bytes "
+                f"exceeds {self.max_table_bytes} (use the bvh engine for "
+                "large meshes)")
         self._sph_tab = jax.device_put(jnp.asarray(sph))
         self._quad_tab = jax.device_put(jnp.asarray(quad))
         self._tri_tab = jax.device_put(jnp.asarray(tri))

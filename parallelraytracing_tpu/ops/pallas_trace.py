@@ -136,7 +136,8 @@ def _pcg_hash(x: jax.Array) -> jax.Array:
 def _uniform01(counter: jax.Array, salt: int) -> jax.Array:
     """[0,1) uniforms from a stateless hash of per-lane counters."""
     bits = _pcg_hash(counter ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF))
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32.
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def _make_kernel(rows: int, max_depth: int, t_min: float, t_max: float,
@@ -168,6 +169,15 @@ def _make_kernel(rows: int, max_depth: int, t_min: float, t_max: float,
                  f1)                  # alive (1.0 / 0.0)
 
         def bounce(depth, state):
+            # Early exit: once every ray in the tile has terminated, the
+            # remaining depth iterations skip all primitive loops (the
+            # device-side analogue of the queue-emptiness check the
+            # reference disabled to avoid host sync, renderer.cu:422-425).
+            any_alive = jnp.sum(state[12]) > 0.0
+            return jax.lax.cond(any_alive, _live_bounce, lambda d, st: st,
+                                depth, state)
+
+        def _live_bounce(depth, state):
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
             rng_d = rng_base + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
 
@@ -438,8 +448,10 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    tab_spec = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM)
+    # Scene tables live in SMEM: the kernel reads them as SCALARS with
+    # dynamic per-primitive indices, which VMEM vector loads cannot do
+    # (Mosaic requires lane indices provably 128-aligned).
+    tab_spec = lambda t: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     # Off-TPU, use the TPU-flavored interpreter (plain interpret=True has
     # no lowering for pltpu.prng_* on cpu).
