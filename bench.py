@@ -48,7 +48,12 @@ def main() -> None:
     depth = int(os.environ.get("BENCH_DEPTH", 20))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     preset = ScenePreset(os.environ.get("BENCH_PRESET", "random_balls_large"))
-    engine = os.environ.get("BENCH_ENGINE", "megakernel")
+    # Engine preference: explicit env wins; otherwise try the fastest
+    # first and fall back if the (flaky) TPU compile service rejects it.
+    if "BENCH_ENGINE" in os.environ:
+        engine_prefs = [os.environ["BENCH_ENGINE"]]
+    else:
+        engine_prefs = ["fused", "megakernel"]
 
     cfg = RenderConfig(width=width, height=height, max_depth=depth, seed=0)
     scene = Scene(preset)
@@ -58,16 +63,27 @@ def main() -> None:
     pos = np.array([30.0, 18.0, 30.0])
     cam = Camera(pos, -pos, float(width), float(height), 100.0)
 
-    film = Film(width, height)
-    r = create_renderer(engine)
-    r.init(film, scene, cam, cfg)
-
     from parallelraytracing_tpu.utils.sync import device_sync
 
-    # Warm up / compile (device_sync: block_until_ready does not actually
-    # wait on the axon backend).
-    r.progressive_render()
-    device_sync(film.accum)
+    film = r = engine = None
+    last_err = None
+    for name in engine_prefs:
+        try:
+            film = Film(width, height)
+            r = create_renderer(name)
+            r.init(film, scene, cam, cfg)
+            # Warm up / compile (device_sync: block_until_ready does not
+            # actually wait on the axon backend).
+            r.progressive_render()
+            device_sync(film.accum)
+            engine = name
+            break
+        except Exception as e:  # compile service flakiness: fall back
+            last_err = e
+            print(f"# engine {name} failed: {type(e).__name__}",
+                  file=sys.stderr)
+    if engine is None:
+        raise last_err
 
     # Count actual rays traced per frame (camera + alive bounce rays).
     rays_per_frame = count_bounce_rays(

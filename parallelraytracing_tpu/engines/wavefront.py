@@ -40,9 +40,10 @@ from parallelraytracing_tpu.ops.materials import (
     emitted, random_unit_vectors, scatter)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "use_bvh"))
 def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
-                    key: jax.Array, cfg: RenderConfig) -> jax.Array:
+                    key: jax.Array, cfg: RenderConfig,
+                    bvh=None, use_bvh: bool = False) -> jax.Array:
     """Trace R camera rays through the staged wavefront loop.
 
     Pool state lives in R-sized SoA arrays (pixel index == pool slot, like
@@ -88,9 +89,18 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
             dt = d[safe]
             thr = throughput[safe]
 
-            # --- IntersectClosestKernel analogue (renderer.cu:206-272)
-            hit = intersect_scene(scene, ot, dt, cfg.t_min, cfg.t_max,
-                                  cfg.intersect_chunk)
+            # --- IntersectClosestKernel analogue (renderer.cu:206-272).
+            # With use_bvh the tile traverses the LBVH: the queue keeps
+            # tiles dense with alive rays, so the traversal's lockstep
+            # worst case is bounded per tile, not per pool.
+            if use_bvh:
+                from parallelraytracing_tpu.accel.traverse import \
+                    bvh_intersect_scene
+                hit = bvh_intersect_scene(scene, bvh, ot, dt, cfg.t_min,
+                                          cfg.t_max)
+            else:
+                hit = intersect_scene(scene, ot, dt, cfg.t_min, cfg.t_max,
+                                      cfg.intersect_chunk)
 
             # --- ShadeHitsKernel analogue (renderer.cu:274-335)
             miss = in_queue & ~hit.hit
@@ -142,6 +152,13 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
 @register_engine
 class WavefrontRenderer(Renderer):
     name = "wavefront"
+    use_bvh = False
+
+    def _post_init(self) -> None:
+        self._bvh = None
+        if self.use_bvh:
+            from parallelraytracing_tpu.accel.lbvh import build_bvh
+            self._bvh = jax.device_put(build_bvh(self._scene_data))
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config
@@ -153,6 +170,16 @@ class WavefrontRenderer(Renderer):
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
                           cfg.jitter)
-            rad = wavefront_trace(self._scene_data, o, d, k_path, cfg)
+            rad = wavefront_trace(self._scene_data, o, d, k_path, cfg,
+                                  self._bvh, self.use_bvh)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame
+
+
+@register_engine
+class WavefrontBVHRenderer(WavefrontRenderer):
+    """Wavefront loop over LBVH traversal — the OptiX-wavefront analogue:
+    compacted queues + acceleration structure."""
+
+    name = "wavefront_bvh"
+    use_bvh = True

@@ -392,7 +392,9 @@ def _make_kernel(rows: int, max_depth: int, t_min: float, t_max: float,
             sx = sx * ilen; sy = sy * ilen; sz = sz * ilen
 
             met_ok = (sx * nx + sy * ny + sz * nz) > 0.0
-            scat_ok = jnp.where(is_met, met_ok, is_lam | is_die)
+            # float-valued select: Mosaic cannot select_n on i1 vectors
+            scat_ok = jnp.where(is_met, met_ok.astype(jnp.float32),
+                                (is_lam | is_die).astype(jnp.float32)) > 0.5
 
             att_r = jnp.where(is_die, 1.0, m_ar)
             att_g = jnp.where(is_die, 1.0, m_ag)
