@@ -58,6 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true",
                    help="print per-stage timing each frame (the ImGui "
                         "timing-graph analogue, main.cpp:265-462)")
+    p.add_argument("--doctor", action="store_true",
+                   help="probe platform/engines/native lib and exit (the "
+                        "checkCUDA/checkOptiX analogue, main.cpp:46-83)")
     return p
 
 
@@ -67,6 +70,12 @@ def main(argv=None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.doctor:
+        from parallelraytracing_tpu.utils.diagnostics import run_diagnostics
+        results = run_diagnostics()
+        return 0 if all(v["ok"] for v in results.values()) else 1
+
     import numpy as np
 
     from parallelraytracing_tpu import (Film, RenderConfig, Scene,

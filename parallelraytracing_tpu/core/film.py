@@ -68,6 +68,15 @@ class Film:
         self.weights = jnp.zeros_like(self.weights)
         self.sample_count = 0
 
+    def add_sample(self, x: int, y: int, rgb, weight: float = 1.0) -> None:
+        """Film::AddSample (film.cu:37-55): accumulate one sample into one
+        pixel (bounds-checked like the reference)."""
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            return
+        rgb = jnp.asarray(rgb, self._dtype)
+        self.accum = self.accum.at[y, x].add(rgb * weight)
+        self.weights = self.weights.at[y, x].add(weight)
+
     def add_sample_buffer(self, rgb: jax.Array, weight: float = 1.0) -> None:
         """Film::AddSampleBuffer[GPU] (film.cu:57-99): accumulate one frame
         of per-pixel radiance. rgb: (H,W,3) or (H*W,3)."""

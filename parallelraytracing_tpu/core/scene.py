@@ -154,8 +154,11 @@ class Scene:
         self._tri: List[Tuple] = []  # v0,v1,v2,n0,n1,n2,mat
 
         # Set per preset (scene.cpp:65,282,334) but never consumed by the
-        # reference backends — kept for the improved sky-scaling mode.
+        # reference backends (they hardcode the sky) — so by default we
+        # also ignore it for image fidelity. Set use_sky_intensity=True to
+        # honor it (e.g. a truly black sky in CORNELL/LIGHT_TEST).
         self.sky_light_intensity = 1.0
+        self.use_sky_intensity = False
         self.sky_color = np.array(DEFAULT_SKY, dtype=np.float64)
 
         self._cache: Optional[SceneData] = None
@@ -316,7 +319,8 @@ class Scene:
             mat_rough=f32(self._mat_rough),
             mat_ior=f32(self._mat_ior),
             mat_emit=f32(self._mat_emit),
-            sky=f32(self.sky_color),
+            sky=f32(self.sky_color * (self.sky_light_intensity
+                                      if self.use_sky_intensity else 1.0)),
         )
         self._cache = data
         return data
