@@ -260,6 +260,16 @@ class Scene:
                 gn = gn / ln if ln > 0 else np.array([0.0, 1.0, 0.0])
                 self._tri.append((w[a], w[b], w[c], gn, gn, gn, material))
 
+    def add_mesh_instances(self, mesh, material: int,
+                           transforms: Sequence[TransformSpec]) -> None:
+        """Instance a mesh under several transforms (the role of the
+        reference's OptiX IAS, optix/renderer.cpp:833-870). Instances are
+        currently baked to world space at build time — functionally
+        equivalent to a TLAS/BLAS at higher memory cost; a true two-level
+        BVH replaces the bake in a later round."""
+        for t in transforms:
+            self.add_mesh(mesh, material, t)
+
     @property
     def num_primitives(self) -> int:
         return len(self._sph) + len(self._quad) + len(self._tri)

@@ -19,6 +19,10 @@ try:
     from parallelraytracing_tpu.engines import fused as _fused  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import hybrid as _hybrid  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]

@@ -1,4 +1,4 @@
-"""Fused Pallas path-trace megakernel.
+"""Fused Pallas path-trace kernels.
 
 The true TPU megakernel (the role of GPU_RayTracing,
 cuda_megakernel/renderer.cu:132-173): one kernel invocation traces a tile
@@ -9,12 +9,12 @@ the jnp engines bandwidth-bound.
 Key TPU-native moves:
 - Ray state is planar SoA (ROWS, 128) f32 planes (ox..dz, throughput,
   radiance), matching the VPU's (8,128) lanes.
-- The closest-hit fold streams primitives as SCALARS broadcast against the
-  ray planes, and folds the winning primitive's material constants and
-  normal into carried planes at test time — so shading needs NO per-lane
-  gather (the tagged-pointer dispatch of the reference collapses into
-  masked selects on carried constants).
-- RNG is a stateless PCG hash of (ray index, bounce, draw, frame seed) —
+- The closest-hit fold streams primitives as SCALARS from SMEM broadcast
+  against the ray planes, and folds the winning primitive's material
+  constants and normal into carried planes at test time — so shading needs
+  NO per-lane gather (the tagged-pointer dispatch of the reference
+  collapses into masked selects on carried constants).
+- RNG is a stateless PCG hash of (pixel id, bounce, draw, frame seed) —
   exactly the OptiX backend's counter-based pattern (pcg_hash,
   optix/device_types.h:109-120, seeded per frame at
   device_programs.cu:169), not stateful curand.  Stateless hashing also
@@ -22,6 +22,12 @@ Key TPU-native moves:
 - Unit vectors sampled analytically (z = 1-2u, phi = 2*pi*v) — exactly
   uniform on the sphere, replacing the reference's rejection loop
   (math.h:25-36).
+
+Two kernels share one bounce step:
+- pallas_trace: the fused megakernel (all bounces inside the kernel).
+- pallas_bounce: one bounce over a compacted queue (the hybrid engine's
+  intersect+shade stage); RNG is keyed on PIXEL ids so compaction order
+  does not change the image.
 
 Geometry/material semantics match ops/intersect.py and ops/materials.py
 (which remain the correctness oracle); image agreement is statistical
@@ -54,12 +60,11 @@ BIG = 3.0e38
 def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (sph_tab, quad_tab, tri_tab) float32 host arrays.
 
-    sph_tab  (13, Ns): cx cy cz r2 inv_r | mtype alb_r alb_g alb_b em_mean*3 rough ior
-    quad_tab (19, Nq): nx ny nz cn usx usy usz cu vsx vsy vsz cv | mat(7)
-    tri_tab  (31, Nt): ngx..z p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3) | mat(7)
-
-    where mat(7) = mtype alb_r alb_g alb_b em_r em_g em_b + rough + ior is
-    10 entries; see _mat_cols.
+    sph_tab  (15, Ns): cx cy cz r2 inv_r valid | mat(9)
+    quad_tab (22, Nq): n(3) cn us(3) cu vs(3) cv valid | mat(9)
+    tri_tab  (35, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
+                       n0(3) n1(3) n2(3) valid | mat(9)
+    where mat(9) = mtype alb(3) emit(3) rough ior.
     """
     mt = np.asarray(scene.mat_type, np.float32)
     alb = np.asarray(scene.mat_albedo, np.float32)
@@ -74,7 +79,6 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
             emit[ids, 0], emit[ids, 1], emit[ids, 2],
             rough[ids], ior[ids]], axis=0)
 
-    # Spheres
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
     sv = np.asarray(scene.sph_valid)
@@ -84,7 +88,6 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
         sv.astype(np.float32)[None],
         mat_cols(np.asarray(scene.sph_mat))], axis=0)
 
-    # Quads (precompute the same derived constants as ops/intersect.py)
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
     qu = np.asarray(scene.quad_u, np.float32)
@@ -100,7 +103,6 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
         qvd.astype(np.float32)[None],
         mat_cols(np.asarray(scene.quad_mat))], axis=0)
 
-    # Triangles
     v0 = np.asarray(scene.tri_v0, np.float32)
     e1 = np.asarray(scene.tri_v1, np.float32) - v0
     e2 = np.asarray(scene.tri_v2, np.float32) - v0
@@ -122,7 +124,7 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 
 # ---------------------------------------------------------------------------
-# Kernel
+# RNG: stateless PCG on per-lane counters.
 # ---------------------------------------------------------------------------
 
 def _pcg_hash(x: jax.Array) -> jax.Array:
@@ -140,280 +142,280 @@ def _uniform01(counter: jax.Array, salt: int) -> jax.Array:
     return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _make_kernel(rows: int, max_depth: int, t_min: float, t_max: float,
-                 n_sph: int, n_quad: int, n_tri: int, sky: Tuple[float, ...]):
+# ---------------------------------------------------------------------------
+# The shared bounce step (closest-hit fold + shading) on (rows,128) planes.
+# ---------------------------------------------------------------------------
+
+def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
+                      sph_ref, quad_ref, tri_ref):
+    f0 = jnp.zeros(shape, jnp.float32)
+
+    def bounce_step(rng_d, state):
+        """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
+
+        # ---------------- closest hit fold over all primitives
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        carry0 = (best_t, f0, f0, f0, f0, f0,
+                  f0, f0, f0, f0, f0, f0, f0,
+                  jnp.full(shape, 1.0, jnp.float32))
+
+        def fold(carry, t, ok, fr, nxp, nyp, nzp, mat):
+            (best_t, nx, ny, nz, front, m_type,
+             m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
+            upd = ok & (t < best_t)
+            sel = lambda a, b: jnp.where(upd, a, b)
+            return (sel(t, best_t), sel(nxp, nx), sel(nyp, ny),
+                    sel(nzp, nz), sel(fr, front), sel(mat[0], m_type),
+                    sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
+                    sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
+                    sel(mat[7], m_rough), sel(mat[8], m_ior))
+
+        # --- spheres (shape.h:157-203 semantics)
+        def sph_body(j, carry):
+            cx = sph_ref[0, j]; cy = sph_ref[1, j]; cz = sph_ref[2, j]
+            r2 = sph_ref[3, j]; inv_r = sph_ref[4, j]
+            valid = sph_ref[5, j]
+            mat = tuple(sph_ref[6 + k, j] for k in range(9))
+            ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
+            b2 = dx * ocx + dy * ocy + dz * ocz
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = b2 * b2 - cterm
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = -b2 - sq
+            t_far = -b2 + sq
+            fr = (t_near >= t_min).astype(jnp.float32)
+            t = jnp.where(fr > 0, t_near, t_far)
+            ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
+            px = ox + t * dx; py = oy + t * dy; pz = oz + t * dz
+            sgn = fr * 2.0 - 1.0
+            return fold(carry, t, ok, fr,
+                        (px - cx) * inv_r * sgn, (py - cy) * inv_r * sgn,
+                        (pz - cz) * inv_r * sgn, mat)
+
+        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry0)
+
+        # --- quads (shape.h:213-239 baked to world space)
+        def quad_body(j, carry):
+            qnx = quad_ref[0, j]; qny = quad_ref[1, j]; qnz = quad_ref[2, j]
+            cn = quad_ref[3, j]
+            usx = quad_ref[4, j]; usy = quad_ref[5, j]; usz = quad_ref[6, j]
+            cu = quad_ref[7, j]
+            vsx = quad_ref[8, j]; vsy = quad_ref[9, j]; vsz = quad_ref[10, j]
+            cv = quad_ref[11, j]
+            valid = quad_ref[12, j]
+            mat = tuple(quad_ref[13 + k, j] for k in range(9))
+            dn = dx * qnx + dy * qny + dz * qnz
+            on = ox * qnx + oy * qny + oz * qnz
+            denom_ok = jnp.abs(dn) >= 1e-8
+            inv_dn = jnp.where(denom_ok, 1.0 / jnp.where(denom_ok, dn, 1.0), 0.0)
+            t = (cn - on) * inv_dn
+            a = (ox * usx + oy * usy + oz * usz) \
+                + t * (dx * usx + dy * usy + dz * usz) - cu
+            b = (ox * vsx + oy * vsy + oz * vsz) \
+                + t * (dx * vsx + dy * vsy + dz * vsz) - cv
+            ok = denom_ok & (t > t_min) & (t <= t_max) \
+                & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
+            fr = (on - cn > 0.0).astype(jnp.float32)
+            sgn = fr * 2.0 - 1.0
+            return fold(carry, t, ok, fr, qnx * sgn, qny * sgn, qnz * sgn,
+                        mat)
+
+        carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
+
+        # --- triangles (Moller-Trumbore via triple products; smooth normal
+        #     interpolated from barycentrics at test time, shape.h:262-303)
+        wx = oy * dz - oz * dy
+        wy = oz * dx - ox * dz
+        wz = ox * dy - oy * dx
+
+        def tri_body(j, carry):
+            g = lambda k: tri_ref[k, j]
+            ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
+            e1x, e1y, e1z = g(4), g(5), g(6)
+            e2x, e2y, e2z = g(7), g(8), g(9)
+            xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
+            pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
+            n0x, n0y, n0z = g(16), g(17), g(18)
+            n1x, n1y, n1z = g(19), g(20), g(21)
+            n2x, n2y, n2z = g(22), g(23), g(24)
+            valid = g(25)
+            mat = tuple(g(26 + k) for k in range(9))
+            div = -(dx * ngx + dy * ngy + dz * ngz)
+            div_ok = div != 0.0
+            inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
+            t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
+            b1 = ((wx * e2x + wy * e2y + wz * e2z)
+                  - (dx * xpx + dy * xpy + dz * xpz)) * inv
+            b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
+                   - (dx * pex + dy * pey + dz * pez)) * inv
+            ok = div_ok & (t >= t_min) & (t <= t_max) \
+                & (b1 >= 0.0) & (b2_ >= 0.0) & (b1 + b2_ <= 1.0) \
+                & (valid > 0)
+            b0 = 1.0 - b1 - b2_
+            inx = b0 * n0x + b1 * n1x + b2_ * n2x
+            iny = b0 * n0y + b1 * n1y + b2_ * n2y
+            inz = b0 * n0z + b1 * n1z + b2_ * n2z
+            back = (dx * inx + dy * iny + dz * inz) > 0.0
+            sgn = jnp.where(back, -1.0, 1.0)
+            ilen = jax.lax.rsqrt(jnp.maximum(
+                inx * inx + iny * iny + inz * inz, 1e-30))
+            fr = jnp.where(back, 0.0, 1.0)
+            return fold(carry, t, ok, fr,
+                        inx * sgn * ilen, iny * sgn * ilen,
+                        inz * sgn * ilen, mat)
+
+        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+
+        (best_t, nx, ny, nz, front, m_type,
+         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
+
+        hit = best_t < BIG
+        alive_b = alive > 0.0
+
+        # miss: sky * throughput, kill (cuda_megakernel/renderer.cu:98-101)
+        miss = alive_b & ~hit
+        mw = miss.astype(jnp.float32)
+        rr = rr + mw * tr * sky[0]
+        rg = rg + mw * tg * sky[1]
+        rb = rb + mw * tb * sky[2]
+
+        # emission before the scatter test (material.h:119-132)
+        lit = alive_b & hit
+        lw = lit.astype(jnp.float32) * (m_type == MAT_EMISSIVE)
+        rr = rr + lw * tr * m_er
+        rg = rg + lw * tg * m_eg
+        rb = rb + lw * tb * m_eb
+
+        # RNG draws
+        u1 = _uniform01(rng_d, 1)
+        u2 = _uniform01(rng_d, 2)
+        u3 = _uniform01(rng_d, 3)
+        z = 1.0 - 2.0 * u1
+        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = TWO_PI * u2
+        ux = rxy * jnp.cos(phi)
+        uy = rxy * jnp.sin(phi)
+        uz = z
+
+        px = ox + best_t * dx
+        py = oy + best_t * dy
+        pz = oz + best_t * dz
+
+        # ---------------- BSDFs (branchless, material.h semantics)
+        is_lam = m_type == MAT_LAMBERTIAN
+        is_met = m_type == MAT_METAL
+        is_die = m_type == MAT_DIELECTRIC
+
+        lx = nx + ux; ly = ny + uy; lz = nz + uz
+        degen = (jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8) \
+            & (jnp.abs(lz) < 1e-8)
+        lx = jnp.where(degen, nx, lx)
+        ly = jnp.where(degen, ny, ly)
+        lz = jnp.where(degen, nz, lz)
+
+        dn_ = dx * nx + dy * ny + dz * nz
+        rxm = dx - 2.0 * dn_ * nx + m_rough * ux
+        rym = dy - 2.0 * dn_ * ny + m_rough * uy
+        rzm = dz - 2.0 * dn_ * nz + m_rough * uz
+
+        ri = jnp.where(front > 0, 1.0 / m_ior, m_ior)
+        cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = ri * sin_t > 1.0
+        r0 = (1.0 - ri) / (1.0 + ri)
+        r0 = r0 * r0
+        one_mc = 1.0 - cos_t
+        schl = r0 + (1.0 - r0) * one_mc * one_mc * one_mc * one_mc * one_mc
+        refl_choice = cannot | (schl > u3)
+        qx = ri * (dx + cos_t * nx)
+        qy = ri * (dy + cos_t * ny)
+        qz = ri * (dz + cos_t * nz)
+        qpar = -jnp.sqrt(jnp.abs(1.0 - (qx * qx + qy * qy + qz * qz)))
+        fx = qx + qpar * nx
+        fy = qy + qpar * ny
+        fz = qz + qpar * nz
+        gx = dx - 2.0 * dn_ * nx
+        gy = dy - 2.0 * dn_ * ny
+        gz = dz - 2.0 * dn_ * nz
+        ex = jnp.where(refl_choice, gx, fx)
+        ey = jnp.where(refl_choice, gy, fy)
+        ez = jnp.where(refl_choice, gz, fz)
+
+        sx = jnp.where(is_lam, lx, jnp.where(is_met, rxm, ex))
+        sy = jnp.where(is_lam, ly, jnp.where(is_met, rym, ey))
+        sz = jnp.where(is_lam, lz, jnp.where(is_met, rzm, ez))
+        ilen = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
+                                         1e-30))
+        sx = sx * ilen; sy = sy * ilen; sz = sz * ilen
+
+        met_ok = (sx * nx + sy * ny + sz * nz) > 0.0
+        # float-valued select: Mosaic cannot select_n on i1 vectors
+        scat_ok = jnp.where(is_met, met_ok.astype(jnp.float32),
+                            (is_lam | is_die).astype(jnp.float32)) > 0.5
+
+        att_r = jnp.where(is_die, 1.0, m_ar)
+        att_g = jnp.where(is_die, 1.0, m_ag)
+        att_b = jnp.where(is_die, 1.0, m_ab)
+
+        cont = lit & scat_ok
+        cw = cont.astype(jnp.float32)
+        ncw = 1.0 - cw
+        tr = tr * (ncw + cw * att_r)
+        tg = tg * (ncw + cw * att_g)
+        tb = tb * (ncw + cw * att_b)
+        ox = jnp.where(cont, px, ox)
+        oy = jnp.where(cont, py, oy)
+        oz = jnp.where(cont, pz, oz)
+        dx = jnp.where(cont, sx, dx)
+        dy = jnp.where(cont, sy, dy)
+        dz = jnp.where(cont, sz, dz)
+
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, cw)
+
+    return bounce_step
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: full megakernel (all bounces in one invocation).
+# ---------------------------------------------------------------------------
+
+def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
+                       sky):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     def kernel(seed_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                sph_ref, quad_ref, tri_ref,
                rr_ref, rg_ref, rb_ref):
         tile = pl.program_id(0)
         shape = (rows, LANES)
-        # Per-lane RNG counter: global ray id mixed with the frame seed
-        # (pixelIndex ^ frameSeed pattern, device_programs.cu:169).
         row_id = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         lane_id = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
         ray_id = (jnp.uint32(tile) * jnp.uint32(rows * LANES)
                   + row_id * jnp.uint32(LANES) + lane_id)
         rng_base = _pcg_hash(ray_id ^ seed_ref[0].astype(jnp.uint32))
+
+        step = _make_bounce_step(shape, t_min, t_max, sky,
+                                 n_sph, n_quad, n_tri,
+                                 sph_ref, quad_ref, tri_ref)
+
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
-
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-
-        state = (ox, oy, oz, dx, dy, dz,
-                 f1, f1, f1,          # throughput
-                 f0, f0, f0,          # radiance
-                 f1)                  # alive (1.0 / 0.0)
+        state = (ox_ref[:], oy_ref[:], oz_ref[:],
+                 dx_ref[:], dy_ref[:], dz_ref[:],
+                 f1, f1, f1, f0, f0, f0, f1)
 
         def bounce(depth, state):
-            # Early exit: once every ray in the tile has terminated, the
-            # remaining depth iterations skip all primitive loops (the
-            # device-side analogue of the queue-emptiness check the
-            # reference disabled to avoid host sync, renderer.cu:422-425).
+            # Early exit: a fully-terminated tile skips the primitive loops
+            # (the queue-emptiness check the reference disabled to avoid
+            # host sync, renderer.cu:422-425 — free on-device here).
             any_alive = jnp.sum(state[12]) > 0.0
-            return jax.lax.cond(any_alive, _live_bounce, lambda d, st: st,
-                                depth, state)
 
-        def _live_bounce(depth, state):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
-            rng_d = rng_base + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
+            def live(st):
+                rng_d = rng_base + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
+                return step(rng_d, st)
 
-            # ---------------- closest hit fold over all primitives
-            best_t = jnp.full(shape, BIG, jnp.float32)
-            nx = f0; ny = f0; nz = f0
-            front = f0
-            m_type = f0
-            m_ar = f0; m_ag = f0; m_ab = f0
-            m_er = f0; m_eg = f0; m_eb = f0
-            m_rough = f0; m_ior = jnp.full(shape, 1.0, jnp.float32)
-
-            carry0 = (best_t, nx, ny, nz, front, m_type,
-                      m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior)
-
-            def fold(carry, t, ok, fr, nxp, nyp, nzp, mat):
-                (best_t, nx, ny, nz, front, m_type,
-                 m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
-                upd = ok & (t < best_t)
-                sel = lambda a, b: jnp.where(upd, a, b)
-                return (sel(t, best_t), sel(nxp, nx), sel(nyp, ny),
-                        sel(nzp, nz), sel(fr, front), sel(mat[0], m_type),
-                        sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
-                        sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
-                        sel(mat[7], m_rough), sel(mat[8], m_ior))
-
-            # --- spheres
-            def sph_body(j, carry):
-                cx = sph_ref[0, j]; cy = sph_ref[1, j]; cz = sph_ref[2, j]
-                r2 = sph_ref[3, j]; inv_r = sph_ref[4, j]
-                valid = sph_ref[5, j]
-                mat = tuple(sph_ref[6 + k, j] for k in range(9))
-                ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
-                b2 = dx * ocx + dy * ocy + dz * ocz
-                cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b2 * b2 - cterm
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t_near = -b2 - sq
-                t_far = -b2 + sq
-                fr = (t_near >= t_min).astype(jnp.float32)
-                t = jnp.where(fr > 0, t_near, t_far)
-                ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
-                # normal = (p - c) * inv_r, flipped for back hits
-                px = ox + t * dx; py = oy + t * dy; pz = oz + t * dz
-                sgn = fr * 2.0 - 1.0
-                nxp = (px - cx) * inv_r * sgn
-                nyp = (py - cy) * inv_r * sgn
-                nzp = (pz - cz) * inv_r * sgn
-                return fold(carry, t, ok, fr, nxp, nyp, nzp, mat)
-
-            carry = jax.lax.fori_loop(0, n_sph, sph_body, carry0)
-
-            # --- quads
-            def quad_body(j, carry):
-                qnx = quad_ref[0, j]; qny = quad_ref[1, j]; qnz = quad_ref[2, j]
-                cn = quad_ref[3, j]
-                usx = quad_ref[4, j]; usy = quad_ref[5, j]; usz = quad_ref[6, j]
-                cu = quad_ref[7, j]
-                vsx = quad_ref[8, j]; vsy = quad_ref[9, j]; vsz = quad_ref[10, j]
-                cv = quad_ref[11, j]
-                valid = quad_ref[12, j]
-                mat = tuple(quad_ref[13 + k, j] for k in range(9))
-                dn = dx * qnx + dy * qny + dz * qnz
-                on = ox * qnx + oy * qny + oz * qnz
-                denom_ok = jnp.abs(dn) >= 1e-8
-                inv_dn = jnp.where(denom_ok, 1.0 / jnp.where(denom_ok, dn, 1.0), 0.0)
-                t = (cn - on) * inv_dn
-                a = (ox * usx + oy * usy + oz * usz) \
-                    + t * (dx * usx + dy * usy + dz * usz) - cu
-                b = (ox * vsx + oy * vsy + oz * vsz) \
-                    + t * (dx * vsx + dy * vsy + dz * vsz) - cv
-                ok = denom_ok & (t > t_min) & (t <= t_max) \
-                    & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
-                fr = (on - cn > 0.0).astype(jnp.float32)
-                sgn = fr * 2.0 - 1.0
-                return fold(carry, t, ok, fr, qnx * sgn, qny * sgn, qnz * sgn,
-                            mat)
-
-            carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
-
-            # --- triangles (Moller-Trumbore via triple products; smooth
-            #     normal interpolated from barycentrics at test time)
-            wx = oy * dz - oz * dy
-            wy = oz * dx - ox * dz
-            wz = ox * dy - oy * dx
-
-            def tri_body(j, carry):
-                g = lambda k: tri_ref[k, j]
-                ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
-                e1x, e1y, e1z = g(4), g(5), g(6)
-                e2x, e2y, e2z = g(7), g(8), g(9)
-                xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
-                pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
-                n0x, n0y, n0z = g(16), g(17), g(18)
-                n1x, n1y, n1z = g(19), g(20), g(21)
-                n2x, n2y, n2z = g(22), g(23), g(24)
-                valid = g(25)
-                mat = tuple(g(26 + k) for k in range(9))
-                div = -(dx * ngx + dy * ngy + dz * ngz)
-                div_ok = div != 0.0
-                inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
-                t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
-                b1 = ((wx * e2x + wy * e2y + wz * e2z)
-                      - (dx * xpx + dy * xpy + dz * xpz)) * inv
-                b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
-                       - (dx * pex + dy * pey + dz * pez)) * inv
-                ok = div_ok & (t >= t_min) & (t <= t_max) \
-                    & (b1 >= 0.0) & (b2_ >= 0.0) & (b1 + b2_ <= 1.0) \
-                    & (valid > 0)
-                b0 = 1.0 - b1 - b2_
-                inx = b0 * n0x + b1 * n1x + b2_ * n2x
-                iny = b0 * n0y + b1 * n1y + b2_ * n2y
-                inz = b0 * n0z + b1 * n1z + b2_ * n2z
-                back = (dx * inx + dy * iny + dz * inz) > 0.0
-                sgn = jnp.where(back, -1.0, 1.0)
-                ilen = jax.lax.rsqrt(jnp.maximum(
-                    inx * inx + iny * iny + inz * inz, 1e-30))
-                fr = jnp.where(back, 0.0, 1.0)
-                return fold(carry, t, ok, fr,
-                            inx * sgn * ilen, iny * sgn * ilen,
-                            inz * sgn * ilen, mat)
-
-            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-
-            (best_t, nx, ny, nz, front, m_type,
-             m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
-
-            hit = best_t < BIG
-            alive_b = alive > 0.0
-
-            # ---------------- miss: sky * throughput, kill
-            miss = alive_b & ~hit
-            mw = miss.astype(jnp.float32)
-            rr = rr + mw * tr * sky[0]
-            rg = rg + mw * tg * sky[1]
-            rb = rb + mw * tb * sky[2]
-
-            # ---------------- emission (before scatter test)
-            lit = alive_b & hit
-            lw = lit.astype(jnp.float32) * (m_type == MAT_EMISSIVE)
-            rr = rr + lw * tr * m_er
-            rg = rg + lw * tg * m_eg
-            rb = rb + lw * tb * m_eb
-
-            # ---------------- RNG draws
-            u1 = _uniform01(rng_d, 1)
-            u2 = _uniform01(rng_d, 2)
-            u3 = _uniform01(rng_d, 3)
-            # uniform unit vector
-            z = 1.0 - 2.0 * u1
-            rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-            phi = TWO_PI * u2
-            ux = rxy * jnp.cos(phi)
-            uy = rxy * jnp.sin(phi)
-            uz = z
-
-            # hit position
-            px = ox + best_t * dx
-            py = oy + best_t * dy
-            pz = oz + best_t * dz
-
-            # ---------------- BSDFs (branchless, material.h semantics)
-            is_lam = m_type == MAT_LAMBERTIAN
-            is_met = m_type == MAT_METAL
-            is_die = m_type == MAT_DIELECTRIC
-
-            # Lambertian: normal + unit vec (degenerate -> normal)
-            lx = nx + ux; ly = ny + uy; lz = nz + uz
-            degen = (jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8) \
-                & (jnp.abs(lz) < 1e-8)
-            lx = jnp.where(degen, nx, lx)
-            ly = jnp.where(degen, ny, ly)
-            lz = jnp.where(degen, nz, lz)
-
-            # Metal: reflect + rough * unit
-            dn_ = dx * nx + dy * ny + dz * nz
-            rxm = dx - 2.0 * dn_ * nx + m_rough * ux
-            rym = dy - 2.0 * dn_ * ny + m_rough * uy
-            rzm = dz - 2.0 * dn_ * nz + m_rough * uz
-
-            # Dielectric
-            ri = jnp.where(front > 0, 1.0 / m_ior, m_ior)
-            cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-            cannot = ri * sin_t > 1.0
-            r0 = (1.0 - ri) / (1.0 + ri)
-            r0 = r0 * r0
-            one_mc = 1.0 - cos_t
-            schl = r0 + (1.0 - r0) * one_mc * one_mc * one_mc * one_mc * one_mc
-            refl_choice = cannot | (schl > u3)
-            # refract (math.h:45-50)
-            qx = ri * (dx + cos_t * nx)
-            qy = ri * (dy + cos_t * ny)
-            qz = ri * (dz + cos_t * nz)
-            qpar = -jnp.sqrt(jnp.abs(1.0 - (qx * qx + qy * qy + qz * qz)))
-            fx = qx + qpar * nx
-            fy = qy + qpar * ny
-            fz = qz + qpar * nz
-            # reflect
-            gx = dx - 2.0 * dn_ * nx
-            gy = dy - 2.0 * dn_ * ny
-            gz = dz - 2.0 * dn_ * nz
-            ex = jnp.where(refl_choice, gx, fx)
-            ey = jnp.where(refl_choice, gy, fy)
-            ez = jnp.where(refl_choice, gz, fz)
-
-            sx = jnp.where(is_lam, lx, jnp.where(is_met, rxm, ex))
-            sy = jnp.where(is_lam, ly, jnp.where(is_met, rym, ey))
-            sz = jnp.where(is_lam, lz, jnp.where(is_met, rzm, ez))
-            ilen = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
-                                             1e-30))
-            sx = sx * ilen; sy = sy * ilen; sz = sz * ilen
-
-            met_ok = (sx * nx + sy * ny + sz * nz) > 0.0
-            # float-valued select: Mosaic cannot select_n on i1 vectors
-            scat_ok = jnp.where(is_met, met_ok.astype(jnp.float32),
-                                (is_lam | is_die).astype(jnp.float32)) > 0.5
-
-            att_r = jnp.where(is_die, 1.0, m_ar)
-            att_g = jnp.where(is_die, 1.0, m_ag)
-            att_b = jnp.where(is_die, 1.0, m_ab)
-
-            cont = lit & scat_ok
-            cw = cont.astype(jnp.float32)
-            ncw = 1.0 - cw
-            tr = tr * (ncw + cw * att_r)
-            tg = tg * (ncw + cw * att_g)
-            tb = tb * (ncw + cw * att_b)
-            ox = jnp.where(cont, px, ox)
-            oy = jnp.where(cont, py, oy)
-            oz = jnp.where(cont, pz, oz)
-            dx = jnp.where(cont, sx, dx)
-            dy = jnp.where(cont, sy, dy)
-            dz = jnp.where(cont, sz, dz)
-
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, cw)
+            return jax.lax.cond(any_alive, live, lambda st: st, state)
 
         state = jax.lax.fori_loop(0, max_depth, bounce, state)
         rr_ref[:] = state[9]
@@ -444,28 +446,22 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
     planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
     planes = [p.reshape(n_tiles * rows, LANES) for p in planes]
 
-    kernel = _make_kernel(rows, max_depth, t_min, t_max,
-                          int(sph_tab.shape[1]), int(quad_tab.shape[1]),
-                          int(tri_tab.shape[1]), sky)
+    kernel = _make_trace_kernel(rows, max_depth, t_min, t_max,
+                                int(sph_tab.shape[1]), int(quad_tab.shape[1]),
+                                int(tri_tab.shape[1]), sky)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     # Scene tables live in SMEM: the kernel reads them as SCALARS with
     # dynamic per-primitive indices, which VMEM vector loads cannot do
     # (Mosaic requires lane indices provably 128-aligned).
-    tab_spec = lambda t: pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # Off-TPU, use the TPU-flavored interpreter (plain interpret=True has
-    # no lowering for pltpu.prng_* on cpu).
     interp = pltpu.InterpretParams() if interpret else False
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            *[ray_spec] * 6,
-            tab_spec(sph_tab), tab_spec(quad_tab), tab_spec(tri_tab),
-        ],
+        in_specs=[smem, *[ray_spec] * 6, smem, smem, smem],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
@@ -474,3 +470,104 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
 
     rr, rg, rb = out
     return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: single bounce over a compacted queue (hybrid engine stage).
+# ---------------------------------------------------------------------------
+
+def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky):
+    import jax.experimental.pallas as pl
+
+    def kernel(scalar_ref,  # SMEM (3,): [seed, depth, count]
+               pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tr_ref, tg_ref, tb_ref,
+               sph_ref, quad_ref, tri_ref,
+               oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
+               rro, rgo, rbo, alive_o):
+        tile = pl.program_id(0)
+        shape = (rows, LANES)
+        seed = scalar_ref[0]
+        depth = scalar_ref[1]
+        count = scalar_ref[2]
+
+        in_queue_start = tile * jnp.int32(rows * LANES)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        slot = in_queue_start + row_id * jnp.int32(LANES) + lane_id
+        in_q = (slot < count).astype(jnp.float32)
+
+        # Pixel-keyed RNG: compaction order cannot change the image.
+        rng_base = _pcg_hash(
+            pix_ref[:].astype(jnp.int32).astype(jnp.uint32)  # f32 pix ids
+            ^ seed.astype(jnp.uint32))
+        rng_d = rng_base + depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+
+        step = _make_bounce_step(shape, t_min, t_max, sky,
+                                 n_sph, n_quad, n_tri,
+                                 sph_ref, quad_ref, tri_ref)
+
+        f0 = jnp.zeros(shape, jnp.float32)
+        state = (ox_ref[:], oy_ref[:], oz_ref[:],
+                 dx_ref[:], dy_ref[:], dz_ref[:],
+                 tr_ref[:], tg_ref[:], tb_ref[:],
+                 f0, f0, f0, in_q)
+
+        def live(st):
+            return step(rng_d, st)
+
+        any_work = jnp.sum(in_q) > 0.0
+        state = jax.lax.cond(any_work, live, lambda st: st, state)
+
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
+        oxo[:] = ox; oyo[:] = oy; ozo[:] = oz
+        dxo[:] = dx; dyo[:] = dy; dzo[:] = dz
+        tro[:] = tr; tgo[:] = tg; tbo[:] = tb
+        rro[:] = rr; rgo[:] = rg; rbo[:] = rb
+        alive_o[:] = alive
+
+    return kernel
+
+
+def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab, scalars,
+                  rows: int, t_min: float, t_max: float,
+                  sky: Tuple[float, float, float],
+                  interpret: bool = False):
+    """One bounce over the (queue-ordered) ray planes.
+
+    pix: (R,) f32 pixel ids; o9: tuple of 9 (R,) f32 planes
+    (ox,oy,oz,dx,dy,dz,tr,tg,tb); scalars: (3,) i32 [seed, depth, count].
+    Returns (new 9 planes, radiance add 3 planes, alive (R,) f32)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = pix.shape[0]
+    tile = rows * LANES
+    assert r % tile == 0
+    n_tiles = r // tile
+
+    planes = [pix, *o9]
+    planes = [p.reshape(n_tiles * rows, LANES) for p in planes]
+
+    kernel = _make_bounce_kernel(rows, t_min, t_max,
+                                 int(sph_tab.shape[1]),
+                                 int(quad_tab.shape[1]),
+                                 int(tri_tab.shape[1]), sky)
+
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    interp = pltpu.InterpretParams() if interpret else False
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem, *[ray_spec] * 10, smem, smem, smem],
+        out_specs=[ray_spec] * 13,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
+                   ] * 13,
+        interpret=interp,
+    )(scalars, *planes, sph_tab, quad_tab, tri_tab)
+
+    flat = [p.reshape(r) for p in out]
+    return flat[:9], flat[9:12], flat[12]
