@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+from parallelraytracing_tpu import Film, RenderConfig, Scene, ScenePreset, create_renderer
+from parallelraytracing_tpu.core.camera import default_camera
+from parallelraytracing_tpu.core.light import LightList
+
+
+def test_light_list_registers_emissives():
+    s = Scene(preset=None)
+    lights = LightList()
+    lights.add_sphere_light(s, (0, 5, 0), 1.0, (10, 10, 10))
+    lights.add_quad_light(s, 4, 4, (3, 2, 1), ((1, 1, 1), (90, 0, 0), (0, 8, 0)))
+    assert len(lights) == 2
+    d = s.build()
+    assert int(np.asarray(d.sph_valid).sum()) == 1
+    assert int(np.asarray(d.quad_valid).sum()) == 1
+    types = np.asarray(d.mat_type)
+    assert (types == 3).sum() == 2  # both emissive
+
+
+def test_hybrid_bitmatches_fused():
+    cfg = RenderConfig(width=32, height=16, max_depth=5, seed=11)
+    imgs = {}
+    for engine in ("fused", "hybrid"):
+        scene = Scene(ScenePreset.DEFAULT)
+        film = Film(cfg.width, cfg.height)
+        r = create_renderer(engine)
+        r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+        for _ in range(3):
+            r.progressive_render()
+        imgs[engine] = np.asarray(film.hdr_average())
+    np.testing.assert_array_equal(imgs["fused"], imgs["hybrid"])
+
+
+def test_mesh_instances_render():
+    from parallelraytracing_tpu.core.mesh import load_ply
+    mesh = load_ply("/root/reference/assets/models/icosahedron.ply")
+    s = Scene(preset=None)
+    m = s.add_lambertian((0.9, 0.2, 0.2))
+    s.add_mesh_instances(mesh, m, [((1, 1, 1), (0, 0, 0), (x * 3.0, 1, 0))
+                                   for x in range(3)])
+    g = s.add_lambertian((0.5, 0.5, 0.5))
+    s.add_quad(30, 30, g, None)
+    cfg = RenderConfig(width=48, height=32, max_depth=4, seed=0,
+                       intersect_chunk=32)
+    film = Film(cfg.width, cfg.height)
+    r = create_renderer("bvh")
+    r.init(film, s, default_camera(cfg.width, cfg.height), cfg)
+    r.progressive_render()
+    img = np.asarray(film.hdr_average())
+    assert np.isfinite(img).all()
+
+
+def test_diagnostics_all_ok():
+    from parallelraytracing_tpu.utils.diagnostics import run_diagnostics
+    res = run_diagnostics(verbose=False)
+    bad = {k: v for k, v in res.items() if not v["ok"]}
+    assert not bad, bad
