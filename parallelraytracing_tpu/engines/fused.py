@@ -35,7 +35,11 @@ class FusedRenderer(Renderer):
     max_table_bytes: int = 1 << 19
 
     def _post_init(self) -> None:
-        sph, quad, tri = pack_scene_tables(jax.device_get(self._scene_data))
+        sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
+            jax.device_get(self._scene_data))
+        self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
+        self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
+        self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
         total = sph.nbytes + quad.nbytes + tri.nbytes
         if total > self.max_table_bytes:
             raise ValueError(
@@ -71,8 +75,10 @@ class FusedRenderer(Renderer):
                 [jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)],
                 jnp.int32)
             rad = pallas_trace(o, d, self._sph_tab, self._quad_tab,
-                               self._tri_tab, seed, self.rows,
+                               self._tri_tab, self._sph_cl, self._quad_cl,
+                               self._tri_cl, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-                               interpret=self._interpret)[:r]
+                               interpret=self._interpret,
+                               rr_depth=cfg.russian_roulette_depth)[:r]
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

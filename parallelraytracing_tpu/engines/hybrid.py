@@ -37,10 +37,11 @@ from parallelraytracing_tpu.ops.pallas_trace import (LANES, pack_scene_tables,
 
 @partial(jax.jit,
          static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                          "interpret"))
-def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab, seed,
+                          "interpret", "rr_depth"))
+def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab,
+                 sph_cl, quad_cl, tri_cl, seed,
                  rows: int, max_depth: int, t_min: float, t_max: float,
-                 sky, interpret: bool = False):
+                 sky, interpret: bool = False, rr_depth: int = 0):
     """Returns (R,3) radiance for camera rays (o, d)."""
     r = o.shape[0]
     tile = rows * LANES
@@ -71,8 +72,9 @@ def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab, seed,
 
         scalars = jnp.stack([seed[0], depth, count]).astype(jnp.int32)
         new9, radd, alive = pallas_bounce(
-            qpix, tuple(q9), sph_tab, quad_tab, tri_tab, scalars,
-            rows, t_min, t_max, sky, interpret)
+            qpix, tuple(q9), sph_tab, quad_tab, tri_tab,
+            sph_cl, quad_cl, tri_cl, scalars,
+            rows, t_min, t_max, sky, interpret, rr_depth)
 
         # Scatter updated state back to the pool (only live queue slots).
         lane = jnp.arange(rp)
@@ -107,7 +109,11 @@ class HybridRenderer(Renderer):
     max_table_bytes: int = 1 << 19
 
     def _post_init(self) -> None:
-        sph, quad, tri = pack_scene_tables(jax.device_get(self._scene_data))
+        sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
+            jax.device_get(self._scene_data))
+        self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
+        self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
+        self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
         total = sph.nbytes + quad.nbytes + tri.nbytes
         if total > self.max_table_bytes:
             raise ValueError(
@@ -131,8 +137,10 @@ class HybridRenderer(Renderer):
                           cfg.jitter)
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
             rad = hybrid_trace(o, d, self._sph_tab, self._quad_tab,
-                               self._tri_tab, seed, self.rows,
+                               self._tri_tab, self._sph_cl, self._quad_cl,
+                               self._tri_cl, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-                               self._interpret)
+                               self._interpret,
+                               cfg.russian_roulette_depth)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -57,15 +57,43 @@ BIG = 3.0e38
 # scalar constant consumed inside the kernel's primitive loop.
 # ---------------------------------------------------------------------------
 
-def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (sph_tab, quad_tab, tri_tab) float32 host arrays.
+CLUSTER = 64  # primitives per SMEM culling cluster
 
-    sph_tab  (15, Ns): cx cy cz r2 inv_r valid | mat(9)
-    quad_tab (22, Nq): n(3) cn us(3) cu vs(3) cv valid | mat(9)
-    tri_tab  (35, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
-                       n0(3) n1(3) n2(3) valid | mat(9)
-    where mat(9) = mtype alb(3) emit(3) rough ior.
+
+def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """(N,3)x2 AABBs -> (6, ceil(N/CLUSTER)) cluster-union bounds."""
+    n = len(mn)
+    n_cl = max(1, -(-n // CLUSTER))
+    out = np.zeros((6, n_cl), np.float32)
+    for c in range(n_cl):
+        lo, hi = c * CLUSTER, min((c + 1) * CLUSTER, n)
+        if lo >= n:
+            out[:3, c] = 1.0
+            out[3:, c] = -1.0  # empty (inverted) box: never hit
+        else:
+            out[:3, c] = mn[lo:hi].min(0)
+            out[3:, c] = mx[lo:hi].max(0)
+    return out
+
+
+def pack_scene_tables(scene: SceneData):
+    """Returns (sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
+    float32 host arrays.  Primitives of each kind are sorted by the Morton
+    code of their AABB centroid so consecutive runs of CLUSTER primitives
+    are spatially tight; *_cl holds each run's union AABB, letting the
+    kernel skip whole clusters with one scalar-predicated slab test — an
+    in-kernel two-level hierarchy with zero per-lane gathers.
+
+    sph_tab  (16, Ns): cx cy cz r2 inv_r valid | mat(9) | ord
+    quad_tab (23, Nq): n(3) cn us(3) cu vs(3) cv valid | mat(9) | ord
+    tri_tab  (36, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
+                       n0(3) n1(3) n2(3) valid | mat(9) | ord
+    where mat(9) = mtype alb(3) emit(3) rough ior and ord is the original
+    build order (the reference's first-wins tie-break for coplanar
+    equal-t hits, primitive.cpp:42-48).
     """
+    from parallelraytracing_tpu.accel.lbvh import morton3d
+    from parallelraytracing_tpu.core import geometry as geo
     mt = np.asarray(scene.mat_type, np.float32)
     alb = np.asarray(scene.mat_albedo, np.float32)
     emit = np.asarray(scene.mat_emit, np.float32)
@@ -79,20 +107,38 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
             emit[ids, 0], emit[ids, 1], emit[ids, 2],
             rough[ids], ior[ids]], axis=0)
 
+    def morton_order(mn, mx):
+        cen = (mn + mx) * 0.5
+        lo = cen.min(0)
+        ext = np.maximum(cen.max(0) - lo, 1e-12)
+        return np.argsort(morton3d((cen - lo) / ext), kind="stable")
+
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
     sv = np.asarray(scene.sph_valid)
+    s_mn, s_mx = geo.sphere_aabb(c.astype(np.float64), r.astype(np.float64))
+    s_ord = morton_order(s_mn, s_mx)
+    c, r, sv = c[s_ord], r[s_ord], sv[s_ord]
     inv_r = np.where(r > 0, 1.0 / np.maximum(r, 1e-30), 0.0)
     sph = np.concatenate([
         c.T, (r * r)[None], inv_r[None],
         sv.astype(np.float32)[None],
-        mat_cols(np.asarray(scene.sph_mat))], axis=0)
+        mat_cols(np.asarray(scene.sph_mat)[s_ord]),
+        s_ord.astype(np.float32)[None]], axis=0)
+    # invalid pads get inverted boxes so their cluster test can't pass
+    s_mn2 = np.where(sv[:, None], s_mn[s_ord], np.float64(1.0))
+    s_mx2 = np.where(sv[:, None], s_mx[s_ord], np.float64(-1.0))
+    sph_cl = _cluster_bounds(s_mn2, s_mx2)
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
     qu = np.asarray(scene.quad_u, np.float32)
     qv = np.asarray(scene.quad_v, np.float32)
     qvd = np.asarray(scene.quad_valid)
+    q_mn, q_mx = geo.quad_aabb(qc.astype(np.float64), qu.astype(np.float64),
+                               qv.astype(np.float64))
+    q_ord = morton_order(q_mn, q_mx)
+    qn, qc, qu, qv, qvd = qn[q_ord], qc[q_ord], qu[q_ord], qv[q_ord], qvd[q_ord]
     us = qu / np.maximum((qu * qu).sum(1, keepdims=True), 1e-30)
     vs = qv / np.maximum((qv * qv).sum(1, keepdims=True), 1e-30)
     cn = (qc * qn).sum(1)
@@ -101,26 +147,41 @@ def pack_scene_tables(scene: SceneData) -> Tuple[np.ndarray, np.ndarray, np.ndar
     quad = np.concatenate([
         qn.T, cn[None], us.T, cu[None], vs.T, cv[None],
         qvd.astype(np.float32)[None],
-        mat_cols(np.asarray(scene.quad_mat))], axis=0)
+        mat_cols(np.asarray(scene.quad_mat)[q_ord]),
+        q_ord.astype(np.float32)[None]], axis=0)
+    q_mn2 = np.where(qvd[:, None], q_mn[q_ord], np.float64(1.0))
+    q_mx2 = np.where(qvd[:, None], q_mx[q_ord], np.float64(-1.0))
+    quad_cl = _cluster_bounds(q_mn2, q_mx2)
 
     v0 = np.asarray(scene.tri_v0, np.float32)
-    e1 = np.asarray(scene.tri_v1, np.float32) - v0
-    e2 = np.asarray(scene.tri_v2, np.float32) - v0
+    v1 = np.asarray(scene.tri_v1, np.float32)
+    v2 = np.asarray(scene.tri_v2, np.float32)
+    t_mn, t_mx = geo.triangle_aabb(v0.astype(np.float64),
+                                   v1.astype(np.float64),
+                                   v2.astype(np.float64))
+    t_ord = morton_order(t_mn, t_mx)
+    v0, v1, v2 = v0[t_ord], v1[t_ord], v2[t_ord]
+    e1 = v1 - v0
+    e2 = v2 - v0
     ng = np.cross(e1, e2)
     p0ng = (v0 * ng).sum(1)
     e2xp0 = np.cross(e2, v0)
     p0xe1 = np.cross(v0, e1)
-    tvd = np.asarray(scene.tri_valid)
+    tvd = np.asarray(scene.tri_valid)[t_ord]
     tri = np.concatenate([
         ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
-        np.asarray(scene.tri_n0, np.float32).T,
-        np.asarray(scene.tri_n1, np.float32).T,
-        np.asarray(scene.tri_n2, np.float32).T,
+        np.asarray(scene.tri_n0, np.float32)[t_ord].T,
+        np.asarray(scene.tri_n1, np.float32)[t_ord].T,
+        np.asarray(scene.tri_n2, np.float32)[t_ord].T,
         tvd.astype(np.float32)[None],
-        mat_cols(np.asarray(scene.tri_mat))], axis=0)
+        mat_cols(np.asarray(scene.tri_mat)[t_ord]),
+        t_ord.astype(np.float32)[None]], axis=0)
+    t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
+    t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
+    tri_cl = _cluster_bounds(t_mn2, t_mx2)
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
-            np.ascontiguousarray(tri))
+            np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl)
 
 
 # ---------------------------------------------------------------------------
@@ -147,29 +208,82 @@ def _uniform01(counter: jax.Array, salt: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
-                      sph_ref, quad_ref, tri_ref):
+                      sph_ref, quad_ref, tri_ref, rr_depth: int = 0,
+                      cluster_refs=None):
     f0 = jnp.zeros(shape, jnp.float32)
 
-    def bounce_step(rng_d, state):
+    def bounce_step(rng_d, state, depth=None):
         """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
+        alive_b = alive > 0.0
+
+        # Safe reciprocal directions for the cluster slab tests.
+        eps = 1e-20
+        inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                 jnp.where(dx < 0, -eps, eps), dx)
+        inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                 jnp.where(dy < 0, -eps, eps), dy)
+        inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                 jnp.where(dz < 0, -eps, eps), dz)
 
         # ---------------- closest hit fold over all primitives
         best_t = jnp.full(shape, BIG, jnp.float32)
         carry0 = (best_t, f0, f0, f0, f0, f0,
                   f0, f0, f0, f0, f0, f0, f0,
-                  jnp.full(shape, 1.0, jnp.float32))
+                  jnp.full(shape, 1.0, jnp.float32),
+                  jnp.full(shape, float(1 << 24), jnp.float32))  # best_ord
 
-        def fold(carry, t, ok, fr, nxp, nyp, nzp, mat):
+        def fold(carry, t, ok, fr, nxp, nyp, nzp, mat, ordv):
             (best_t, nx, ny, nz, front, m_type,
-             m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
-            upd = ok & (t < best_t)
+             m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
+             best_ord) = carry
+            # strict < with lowest-original-ordinal tie-break: primitives
+            # are Morton-sorted, so visit order no longer matches the
+            # reference's first-wins list order — the carried ordinal
+            # restores it (coplanar Cornell light/walls).
+            upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
             sel = lambda a, b: jnp.where(upd, a, b)
             return (sel(t, best_t), sel(nxp, nx), sel(nyp, ny),
                     sel(nzp, nz), sel(fr, front), sel(mat[0], m_type),
                     sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
                     sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
-                    sel(mat[7], m_rough), sel(mat[8], m_ior))
+                    sel(mat[7], m_rough), sel(mat[8], m_ior),
+                    sel(ordv, best_ord))
+
+        def clustered(n, cl_ref, body, carry):
+            """fori over CLUSTER-sized runs, skipping runs whose union AABB
+            no live ray can hit at better-than-best t (the in-kernel
+            two-level hierarchy; cluster data is scalar -> no gathers)."""
+            n_cl = max(1, -(-n // CLUSTER))
+            if cl_ref is None or n <= CLUSTER:
+                return jax.lax.fori_loop(0, n, body, carry)
+
+            def cl_body(ci, carry):
+                bx0 = cl_ref[0, ci]; by0 = cl_ref[1, ci]; bz0 = cl_ref[2, ci]
+                bx1 = cl_ref[3, ci]; by1 = cl_ref[4, ci]; bz1 = cl_ref[5, ci]
+                tx0 = (bx0 - ox) * inv_dx
+                tx1 = (bx1 - ox) * inv_dx
+                ty0 = (by0 - oy) * inv_dy
+                ty1 = (by1 - oy) * inv_dy
+                tz0 = (bz0 - oz) * inv_dz
+                tz1 = (bz1 - oz) * inv_dz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                hit = (tn <= tf) & (tf >= t_min) & (tn <= carry[0]) & alive_b
+                pred = jnp.sum(hit.astype(jnp.float32)) > 0.0
+
+                def do(carry):
+                    lo = ci * CLUSTER
+                    hi = jnp.minimum(lo + CLUSTER, n)
+                    return jax.lax.fori_loop(lo, hi, body, carry)
+
+                return jax.lax.cond(pred, do, lambda c: c, carry)
+
+            return jax.lax.fori_loop(0, n_cl, cl_body, carry)
 
         # --- spheres (shape.h:157-203 semantics)
         def sph_body(j, carry):
@@ -177,6 +291,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             r2 = sph_ref[3, j]; inv_r = sph_ref[4, j]
             valid = sph_ref[5, j]
             mat = tuple(sph_ref[6 + k, j] for k in range(9))
+            ordv = sph_ref[15, j]
             ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
             b2 = dx * ocx + dy * ocy + dz * ocz
             cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
@@ -191,9 +306,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             sgn = fr * 2.0 - 1.0
             return fold(carry, t, ok, fr,
                         (px - cx) * inv_r * sgn, (py - cy) * inv_r * sgn,
-                        (pz - cz) * inv_r * sgn, mat)
+                        (pz - cz) * inv_r * sgn, mat, ordv)
 
-        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry0)
+        sph_cl = cluster_refs[0] if cluster_refs else None
+        carry = clustered(n_sph, sph_cl, sph_body, carry0)
 
         # --- quads (shape.h:213-239 baked to world space)
         def quad_body(j, carry):
@@ -205,6 +321,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             cv = quad_ref[11, j]
             valid = quad_ref[12, j]
             mat = tuple(quad_ref[13 + k, j] for k in range(9))
+            ordv = quad_ref[22, j]
             dn = dx * qnx + dy * qny + dz * qnz
             on = ox * qnx + oy * qny + oz * qnz
             denom_ok = jnp.abs(dn) >= 1e-8
@@ -219,9 +336,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             fr = (on - cn > 0.0).astype(jnp.float32)
             sgn = fr * 2.0 - 1.0
             return fold(carry, t, ok, fr, qnx * sgn, qny * sgn, qnz * sgn,
-                        mat)
+                        mat, ordv)
 
-        carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
+        quad_cl = cluster_refs[1] if cluster_refs else None
+        carry = clustered(n_quad, quad_cl, quad_body, carry)
 
         # --- triangles (Moller-Trumbore via triple products; smooth normal
         #     interpolated from barycentrics at test time, shape.h:262-303)
@@ -241,6 +359,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             n2x, n2y, n2z = g(22), g(23), g(24)
             valid = g(25)
             mat = tuple(g(26 + k) for k in range(9))
+            ordv = g(35)
             div = -(dx * ngx + dy * ngy + dz * ngz)
             div_ok = div != 0.0
             inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
@@ -263,15 +382,15 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             fr = jnp.where(back, 0.0, 1.0)
             return fold(carry, t, ok, fr,
                         inx * sgn * ilen, iny * sgn * ilen,
-                        inz * sgn * ilen, mat)
+                        inz * sgn * ilen, mat, ordv)
 
-        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        tri_cl = cluster_refs[2] if cluster_refs else None
+        carry = clustered(n_tri, tri_cl, tri_body, carry)
 
         (best_t, nx, ny, nz, front, m_type,
-         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior) = carry
+         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior, _) = carry
 
         hit = best_t < BIG
-        alive_b = alive > 0.0
 
         # miss: sky * throughput, kill (cuda_megakernel/renderer.cu:98-101)
         miss = alive_b & ~hit
@@ -364,6 +483,21 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         tr = tr * (ncw + cw * att_r)
         tg = tg * (ncw + cw * att_g)
         tb = tb * (ncw + cw * att_b)
+
+        if rr_depth > 0 and depth is not None:
+            # Russian roulette (unbiased; listed as future work in the
+            # reference, wavefront.md:91-96): survive with p = max channel
+            # throughput, compensating survivors by 1/p.
+            p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
+            u4 = _uniform01(rng_d, 4)
+            roulette = depth >= rr_depth
+            survive_f = jnp.where(roulette & (u4 >= p), 0.0, 1.0)
+            boost = jnp.where(roulette & (survive_f > 0) & cont,
+                              1.0 / p, 1.0)
+            tr = tr * boost
+            tg = tg * boost
+            tb = tb * boost
+            cw = cw * survive_f
         ox = jnp.where(cont, px, ox)
         oy = jnp.where(cont, py, oy)
         oz = jnp.where(cont, pz, oz)
@@ -381,11 +515,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 # ---------------------------------------------------------------------------
 
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
-                       sky):
+                       sky, rr_depth=0):
     import jax.experimental.pallas as pl
 
     def kernel(seed_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               sph_ref, quad_ref, tri_ref,
+               sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                rr_ref, rg_ref, rb_ref):
         tile = pl.program_id(0)
         shape = (rows, LANES)
@@ -397,7 +531,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 
         step = _make_bounce_step(shape, t_min, t_max, sky,
                                  n_sph, n_quad, n_tri,
-                                 sph_ref, quad_ref, tri_ref)
+                                 sph_ref, quad_ref, tri_ref, rr_depth,
+                                 (sph_cl, quad_cl, tri_cl))
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -413,7 +548,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 
             def live(st):
                 rng_d = rng_base + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
-                return step(rng_d, st)
+                return step(rng_d, st, depth)
 
             return jax.lax.cond(any_alive, live, lambda st: st, state)
 
@@ -428,12 +563,14 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                     "interpret"))
+                     "interpret", "rr_depth"))
 def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
-                 quad_tab: jax.Array, tri_tab: jax.Array, seed: jax.Array,
+                 quad_tab: jax.Array, tri_tab: jax.Array,
+                 sph_cl: jax.Array, quad_cl: jax.Array, tri_cl: jax.Array,
+                 seed: jax.Array,
                  rows: int, max_depth: int, t_min: float, t_max: float,
                  sky: Tuple[float, float, float],
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, rr_depth: int = 0) -> jax.Array:
     """Trace R rays (R divisible by rows*128). Returns (R,3) radiance."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -448,7 +585,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
 
     kernel = _make_trace_kernel(rows, max_depth, t_min, t_max,
                                 int(sph_tab.shape[1]), int(quad_tab.shape[1]),
-                                int(tri_tab.shape[1]), sky)
+                                int(tri_tab.shape[1]), sky, rr_depth)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -461,12 +598,12 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 6, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 6, smem, smem, smem, smem, smem, smem],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
         interpret=interp,
-    )(seed, *planes, sph_tab, quad_tab, tri_tab)
+    )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
 
     rr, rg, rb = out
     return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
@@ -476,13 +613,14 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
 # Kernel 2: single bounce over a compacted queue (hybrid engine stage).
 # ---------------------------------------------------------------------------
 
-def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky):
+def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
+                        rr_depth=0):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth, count]
                pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tr_ref, tg_ref, tb_ref,
-               sph_ref, quad_ref, tri_ref,
+               sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
                rro, rgo, rbo, alive_o):
         tile = pl.program_id(0)
@@ -505,7 +643,8 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky):
 
         step = _make_bounce_step(shape, t_min, t_max, sky,
                                  n_sph, n_quad, n_tri,
-                                 sph_ref, quad_ref, tri_ref)
+                                 sph_ref, quad_ref, tri_ref, rr_depth,
+                                 (sph_cl, quad_cl, tri_cl))
 
         f0 = jnp.zeros(shape, jnp.float32)
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
@@ -514,7 +653,7 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky):
                  f0, f0, f0, in_q)
 
         def live(st):
-            return step(rng_d, st)
+            return step(rng_d, st, depth)
 
         any_work = jnp.sum(in_q) > 0.0
         state = jax.lax.cond(any_work, live, lambda st: st, state)
@@ -529,10 +668,11 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky):
     return kernel
 
 
-def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab, scalars,
+def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
+                  sph_cl, quad_cl, tri_cl, scalars,
                   rows: int, t_min: float, t_max: float,
                   sky: Tuple[float, float, float],
-                  interpret: bool = False):
+                  interpret: bool = False, rr_depth: int = 0):
     """One bounce over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 9 (R,) f32 planes
@@ -552,7 +692,7 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab, scalars,
     kernel = _make_bounce_kernel(rows, t_min, t_max,
                                  int(sph_tab.shape[1]),
                                  int(quad_tab.shape[1]),
-                                 int(tri_tab.shape[1]), sky)
+                                 int(tri_tab.shape[1]), sky, rr_depth)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -562,12 +702,12 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab, scalars,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 10, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 10, smem, smem, smem, smem, smem, smem],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         interpret=interp,
-    )(scalars, *planes, sph_tab, quad_tab, tri_tab)
+    )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
 
     flat = [p.reshape(r) for p in out]
     return flat[:9], flat[9:12], flat[12]

@@ -35,13 +35,26 @@ def small_cfg(**kw):
 
 def test_scene_tables_shapes():
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
-    sph, quad, tri = pack_scene_tables(scene)
-    assert sph.shape[0] == 15 and sph.shape[1] == scene.sph_radius.shape[0]
-    assert quad.shape[0] == 22
-    assert tri.shape[0] == 35
+    sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(scene)
+    assert sph.shape[0] == 16 and sph.shape[1] == scene.sph_radius.shape[0]
+    assert quad.shape[0] == 23
+    assert tri.shape[0] == 36
     # valid rows mark the padding correctly
     assert sph[5].sum() == 108  # 100 balls + 8 emissive
     assert quad[12].sum() == 1
+    # ordinal row is a permutation (morton sort)
+    import numpy as np
+    assert sorted(sph[15].astype(int)) == list(range(sph.shape[1]))
+    # cluster AABBs contain their primitives
+    assert sph_cl.shape[0] == 6 and sph_cl.shape[1] == -(-sph.shape[1] // 64)
+    for c in range(sph_cl.shape[1]):
+        lo, hi = c * 64, min((c + 1) * 64, sph.shape[1])
+        valid = sph[5, lo:hi] > 0
+        if valid.any():
+            centers = sph[:3, lo:hi][:, valid]
+            radii = np.sqrt(sph[3, lo:hi][valid])
+            assert (centers - radii >= sph_cl[:3, c:c+1] - 1e-4).all()
+            assert (centers + radii <= sph_cl[3:, c:c+1] + 1e-4).all()
 
 
 @pytest.mark.parametrize("preset", [ScenePreset.MATERIAL_TEST,
