@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Render the BASELINE.md milestone configs into examples/outputs/.
+
+Usage: python examples/render_showcase.py [cpu] [quick]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "outputs")
+
+
+def main():
+    import jax
+    cpu = "cpu" in sys.argv[1:]
+    quick = "quick" in sys.argv[1:]
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(OUT, exist_ok=True)
+
+    import numpy as np
+
+    from parallelraytracing_tpu import (Film, RenderConfig, Scene,
+                                        ScenePreset, create_renderer)
+    from parallelraytracing_tpu.core.camera import Camera, default_camera
+    from parallelraytracing_tpu.core.mesh import load_ply
+    from parallelraytracing_tpu.utils.sync import device_sync
+
+    scale = 0.5 if quick else 1.0
+
+    def render(name, scene, cam, engine, w, h, frames, depth=10):
+        w, h, frames = int(w * scale), int(h * scale), max(2, int(frames * scale))
+        cfg = RenderConfig(width=w, height=h, max_depth=depth, seed=0)
+        film = Film(w, h)
+        r = create_renderer(engine)
+        t0 = time.time()
+        r.init(film, scene, cam, cfg)
+        for _ in range(frames):
+            r.progressive_render()
+        device_sync(film.accum)
+        dt = time.time() - t0
+        path = os.path.join(OUT, f"{name}.png")
+        film.save_png(path)
+        print(f"{name:24s} {engine:10s} {w}x{h} {frames}f "
+              f"{dt:6.1f}s -> {path}", flush=True)
+
+    # BASELINE config 1: Cornell, 256x256, brute force
+    render("cornell", Scene(ScenePreset.CORNELL),
+           default_camera(256, 256), "fused", 256, 256, 64)
+
+    # Material test (the BSDF fixture, scene.cpp:307-330)
+    render("material_test", Scene(ScenePreset.MATERIAL_TEST),
+           default_camera(512, 288), "fused", 512, 288, 64)
+
+    # Headline: 809-primitive random balls
+    pos = np.array([30.0, 18.0, 30.0])
+    render("random_balls_large", Scene(ScenePreset.RANDOM_BALLS_LARGE),
+           Camera(pos, -pos, 640, 360), "fused", 640, 360, 32, depth=20)
+
+    # BASELINE config 2: bunny PLY through the LBVH
+    mesh = load_ply("/root/reference/assets/models/bunny.ply")
+    s = Scene(preset=None)
+    body = s.add_lambertian((0.75, 0.65, 0.5))
+    s.add_mesh(mesh, body, ((8, 8, 8), (0, 180, 0), (0, 8.0, 0)))
+    ground = s.add_lambertian((0.5, 0.5, 0.5))
+    s.add_quad(100, 100, ground, None)
+    light = s.add_emissive((12, 12, 12))
+    s.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+    eye = np.array([0.0, 14.0, 28.0])
+    look = np.array([0.0, 7.0, 0.0])
+    render("bunny", s, Camera(eye, look - eye, 512, 512), "bvh",
+           512, 512, 8, depth=6)
+
+    # BASELINE config 3-ish: dragon with specular + dielectric
+    mesh = load_ply("/root/reference/assets/models/dragon.ply")
+    s = Scene(preset=None)
+    body = s.add_metal((0.8, 0.6, 0.4), 0.15)
+    s.add_mesh(mesh, body, ((10, 10, 10), (0, 200, 0), (0, 10, 0)))
+    glass = s.add_dielectric(1.5)
+    s.add_sphere(3.0, glass, ((1, 1, 1), (0, 0, 0), (-12, 3, 8)))
+    ground = s.add_lambertian((0.4, 0.4, 0.45))
+    s.add_quad(120, 120, ground, None)
+    light = s.add_emissive((10, 9, 8))
+    s.add_sphere(4.0, light, ((1, 1, 1), (0, 0, 0), (15, 30, 15)))
+    eye = np.array([0.0, 16.0, 32.0])
+    look = np.array([0.0, 8.0, 0.0])
+    render("dragon", s, Camera(eye, look - eye, 512, 512), "bvh",
+           512, 512, 8, depth=8)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,9 +4,10 @@ TPU-native replacement for the reference's O(N) primitive loops
 (cuda_megakernel/renderer.cu:41-79, cuda_wavefront/renderer.cu:244-261,
 primitive.cpp:21-59): instead of one thread looping over primitives, all
 rays are tested against primitive *chunks* at once, with the per-(ray,prim)
-quantities factored into (R,3)@(3,K) contractions plus elementwise VPU math,
-and a running closest-hit fold carried through a `lax.scan` over chunks —
-so the working set stays O(R * chunk), never O(R * N * 3).
+quantities factored into broadcast 3-term contractions (_rk_dot) plus
+elementwise VPU math, and a running closest-hit fold carried through a
+`lax.scan` over chunks — so the working set stays O(R * chunk), never
+O(R * N * 3).
 
 Geometry semantics match the reference exactly:
 - sphere: quadratic with front-face logic (both roots >= tMin -> front,
@@ -16,7 +17,8 @@ Geometry semantics match the reference exactly:
   center/edge/normal, like optix/device_programs.cu:376-410);
 - triangle: Moller-Trumbore with interpolated vertex normals and backface
   flip, shape.h:262-303 (the dot products are re-associated into scalar
-  triple products so the per-chunk work is matmul-shaped);
+  triple products so per-chunk work is ray-constant x prim-constant
+  contractions);
 - closest-hit by world-space distance (with unit directions t == distance),
   matching the squared-distance / length orderings of the reference
   backends (cuda_megakernel/renderer.cu:59-67,

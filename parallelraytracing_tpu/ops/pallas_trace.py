@@ -57,7 +57,10 @@ BIG = 3.0e38
 # scalar constant consumed inside the kernel's primitive loop.
 # ---------------------------------------------------------------------------
 
-CLUSTER = 64  # primitives per SMEM culling cluster
+import os as _os
+
+# Primitives per SMEM culling cluster (tunable for experiments).
+CLUSTER = int(_os.environ.get("PRT_CLUSTER", "64"))
 
 
 def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
