@@ -27,6 +27,9 @@ def main():
 
     from parallelraytracing_tpu import (Film, RenderConfig, Scene,
                                         ScenePreset, create_renderer)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fast = "fused" if on_tpu else "megakernel"  # fused interprets slowly on cpu
     from parallelraytracing_tpu.core.camera import Camera, default_camera
     from parallelraytracing_tpu.core.mesh import load_ply
     from parallelraytracing_tpu.utils.sync import device_sync
@@ -51,16 +54,16 @@ def main():
 
     # BASELINE config 1: Cornell, 256x256, brute force
     render("cornell", Scene(ScenePreset.CORNELL),
-           default_camera(256, 256), "fused", 256, 256, 64)
+           default_camera(256, 256), fast, 256, 256, 64)
 
     # Material test (the BSDF fixture, scene.cpp:307-330)
     render("material_test", Scene(ScenePreset.MATERIAL_TEST),
-           default_camera(512, 288), "fused", 512, 288, 64)
+           default_camera(512, 288), fast, 512, 288, 64)
 
     # Headline: 809-primitive random balls
     pos = np.array([30.0, 18.0, 30.0])
     render("random_balls_large", Scene(ScenePreset.RANDOM_BALLS_LARGE),
-           Camera(pos, -pos, 640, 360), "fused", 640, 360, 32, depth=20)
+           Camera(pos, -pos, 640, 360), fast, 640, 360, 32, depth=20)
 
     # BASELINE config 2: bunny PLY through the LBVH
     mesh = load_ply("/root/reference/assets/models/bunny.ply")

@@ -29,26 +29,32 @@ class FusedRenderer(Renderer):
     name = "fused"
 
     #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
-    rows: int = 16
+    import os as _os
+    rows: int = int(_os.environ.get("PRT_ROWS", "16"))
 
     #: SMEM capacity guard: scene tables must fit scalar memory.
     max_table_bytes: int = 1 << 19
 
+    #: per-kind primitive count above which the table moves from SMEM
+    #: scalar layout to VMEM row layout (dynamic-sublane reads).
+    vmem_threshold: int = 2048
+
     def _post_init(self) -> None:
+        from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
         sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
             jax.device_get(self._scene_data))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
-        total = sph.nbytes + quad.nbytes + tri.nbytes
-        if total > self.max_table_bytes:
-            raise ValueError(
-                f"fused engine holds scene tables in SMEM; {total} bytes "
-                f"exceeds {self.max_table_bytes} (use the bvh engine for "
-                "large meshes)")
-        self._sph_tab = jax.device_put(jnp.asarray(sph))
-        self._quad_tab = jax.device_put(jnp.asarray(quad))
-        self._tri_tab = jax.device_put(jnp.asarray(tri))
+        tabs = []
+        kinds = []
+        for tab in (sph, quad, tri):
+            vm = tab.shape[1] > self.vmem_threshold
+            kinds.append(vm)
+            tabs.append(jax.device_put(jnp.asarray(
+                to_vmem_rows(tab) if vm else tab)))
+        self._sph_tab, self._quad_tab, self._tri_tab = tabs
+        self._vmem_kinds = tuple(kinds)
         self._interpret = not _on_tpu()
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
@@ -79,6 +85,7 @@ class FusedRenderer(Renderer):
                                self._tri_cl, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                                interpret=self._interpret,
-                               rr_depth=cfg.russian_roulette_depth)[:r]
+                               rr_depth=cfg.russian_roulette_depth,
+                               vmem_kinds=self._vmem_kinds)[:r]
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

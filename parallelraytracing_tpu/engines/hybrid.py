@@ -37,11 +37,12 @@ from parallelraytracing_tpu.ops.pallas_trace import (LANES, pack_scene_tables,
 
 @partial(jax.jit,
          static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                          "interpret", "rr_depth"))
+                          "interpret", "rr_depth", "vmem_kinds"))
 def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab,
                  sph_cl, quad_cl, tri_cl, seed,
                  rows: int, max_depth: int, t_min: float, t_max: float,
-                 sky, interpret: bool = False, rr_depth: int = 0):
+                 sky, interpret: bool = False, rr_depth: int = 0,
+                 vmem_kinds=(False, False, False)):
     """Returns (R,3) radiance for camera rays (o, d)."""
     r = o.shape[0]
     tile = rows * LANES
@@ -74,7 +75,7 @@ def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab,
         new9, radd, alive = pallas_bounce(
             qpix, tuple(q9), sph_tab, quad_tab, tri_tab,
             sph_cl, quad_cl, tri_cl, scalars,
-            rows, t_min, t_max, sky, interpret, rr_depth)
+            rows, t_min, t_max, sky, interpret, rr_depth, vmem_kinds)
 
         # Scatter updated state back to the pool (only live queue slots).
         lane = jnp.arange(rp)
@@ -108,20 +109,24 @@ class HybridRenderer(Renderer):
     rows: int = 16
     max_table_bytes: int = 1 << 19
 
+    vmem_threshold: int = 2048
+
     def _post_init(self) -> None:
+        from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
         sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
             jax.device_get(self._scene_data))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
-        total = sph.nbytes + quad.nbytes + tri.nbytes
-        if total > self.max_table_bytes:
-            raise ValueError(
-                f"hybrid engine holds scene tables in SMEM; {total} bytes "
-                f"exceeds {self.max_table_bytes}")
-        self._sph_tab = jax.device_put(jnp.asarray(sph))
-        self._quad_tab = jax.device_put(jnp.asarray(quad))
-        self._tri_tab = jax.device_put(jnp.asarray(tri))
+        tabs = []
+        kinds = []
+        for tab in (sph, quad, tri):
+            vm = tab.shape[1] > self.vmem_threshold
+            kinds.append(vm)
+            tabs.append(jax.device_put(jnp.asarray(
+                to_vmem_rows(tab) if vm else tab)))
+        self._sph_tab, self._quad_tab, self._tri_tab = tabs
+        self._vmem_kinds = tuple(kinds)
         self._interpret = not _on_tpu()
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
@@ -141,6 +146,7 @@ class HybridRenderer(Renderer):
                                self._tri_cl, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                                self._interpret,
-                               cfg.russian_roulette_depth)
+                               cfg.russian_roulette_depth,
+                               self._vmem_kinds)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -60,7 +60,7 @@ BIG = 3.0e38
 import os as _os
 
 # Primitives per SMEM culling cluster (tunable for experiments).
-CLUSTER = int(_os.environ.get("PRT_CLUSTER", "64"))
+CLUSTER = int(_os.environ.get("PRT_CLUSTER", "32"))
 
 
 def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
@@ -210,8 +210,25 @@ def _uniform01(counter: jax.Array, salt: int) -> jax.Array:
 # The shared bounce step (closest-hit fold + shading) on (rows,128) planes.
 # ---------------------------------------------------------------------------
 
+def make_reader(ref, vmem_rows: bool):
+    """Per-primitive scalar accessor: j -> (k -> scalar).
+
+    SMEM tables are (C, Np) with native dynamic scalar indexing; large
+    tables use VMEM (Np, 128) rows — a dynamic-sublane row load plus
+    static lane extracts (Mosaic allows dynamic sublane indices, only
+    dynamic LANE indices must be 128-aligned)."""
+    if vmem_rows:
+        def get(j):
+            row = ref[j]
+            return lambda k: row[k]
+    else:
+        def get(j):
+            return lambda k: ref[k, j]
+    return get
+
+
 def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
-                      sph_ref, quad_ref, tri_ref, rr_depth: int = 0,
+                      sph_get, quad_get, tri_get, rr_depth: int = 0,
                       cluster_refs=None):
     f0 = jnp.zeros(shape, jnp.float32)
 
@@ -290,11 +307,12 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
         # --- spheres (shape.h:157-203 semantics)
         def sph_body(j, carry):
-            cx = sph_ref[0, j]; cy = sph_ref[1, j]; cz = sph_ref[2, j]
-            r2 = sph_ref[3, j]; inv_r = sph_ref[4, j]
-            valid = sph_ref[5, j]
-            mat = tuple(sph_ref[6 + k, j] for k in range(9))
-            ordv = sph_ref[15, j]
+            g = sph_get(j)
+            cx = g(0); cy = g(1); cz = g(2)
+            r2 = g(3); inv_r = g(4)
+            valid = g(5)
+            mat = tuple(g(6 + k) for k in range(9))
+            ordv = g(15)
             ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
             b2 = dx * ocx + dy * ocy + dz * ocz
             cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
@@ -316,15 +334,16 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
         # --- quads (shape.h:213-239 baked to world space)
         def quad_body(j, carry):
-            qnx = quad_ref[0, j]; qny = quad_ref[1, j]; qnz = quad_ref[2, j]
-            cn = quad_ref[3, j]
-            usx = quad_ref[4, j]; usy = quad_ref[5, j]; usz = quad_ref[6, j]
-            cu = quad_ref[7, j]
-            vsx = quad_ref[8, j]; vsy = quad_ref[9, j]; vsz = quad_ref[10, j]
-            cv = quad_ref[11, j]
-            valid = quad_ref[12, j]
-            mat = tuple(quad_ref[13 + k, j] for k in range(9))
-            ordv = quad_ref[22, j]
+            g = quad_get(j)
+            qnx = g(0); qny = g(1); qnz = g(2)
+            cn = g(3)
+            usx = g(4); usy = g(5); usz = g(6)
+            cu = g(7)
+            vsx = g(8); vsy = g(9); vsz = g(10)
+            cv = g(11)
+            valid = g(12)
+            mat = tuple(g(13 + k) for k in range(9))
+            ordv = g(22)
             dn = dx * qnx + dy * qny + dz * qnz
             on = ox * qnx + oy * qny + oz * qnz
             denom_ok = jnp.abs(dn) >= 1e-8
@@ -351,7 +370,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         wz = ox * dy - oy * dx
 
         def tri_body(j, carry):
-            g = lambda k: tri_ref[k, j]
+            g = tri_get(j)
             ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
             e1x, e1y, e1z = g(4), g(5), g(6)
             e2x, e2y, e2z = g(7), g(8), g(9)
@@ -518,7 +537,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 # ---------------------------------------------------------------------------
 
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
-                       sky, rr_depth=0):
+                       sky, rr_depth=0, vmem_kinds=(False, False, False)):
     import jax.experimental.pallas as pl
 
     def kernel(seed_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -532,10 +551,12 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                   + row_id * jnp.uint32(LANES) + lane_id)
         rng_base = _pcg_hash(ray_id ^ seed_ref[0].astype(jnp.uint32))
 
-        step = _make_bounce_step(shape, t_min, t_max, sky,
-                                 n_sph, n_quad, n_tri,
-                                 sph_ref, quad_ref, tri_ref, rr_depth,
-                                 (sph_cl, quad_cl, tri_cl))
+        step = _make_bounce_step(
+            shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
+            make_reader(sph_ref, vmem_kinds[0]),
+            make_reader(quad_ref, vmem_kinds[1]),
+            make_reader(tri_ref, vmem_kinds[2]),
+            rr_depth, (sph_cl, quad_cl, tri_cl))
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -566,14 +587,16 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                     "interpret", "rr_depth"))
+                     "interpret", "rr_depth", "vmem_kinds"))
 def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
                  sph_cl: jax.Array, quad_cl: jax.Array, tri_cl: jax.Array,
                  seed: jax.Array,
                  rows: int, max_depth: int, t_min: float, t_max: float,
                  sky: Tuple[float, float, float],
-                 interpret: bool = False, rr_depth: int = 0) -> jax.Array:
+                 interpret: bool = False, rr_depth: int = 0,
+                 vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
+                 ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). Returns (R,3) radiance."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -586,9 +609,14 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
     planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
     planes = [p.reshape(n_tiles * rows, LANES) for p in planes]
 
+    def tab_n(tab, vm):
+        return int(tab.shape[0]) if vm else int(tab.shape[1])
+
     kernel = _make_trace_kernel(rows, max_depth, t_min, t_max,
-                                int(sph_tab.shape[1]), int(quad_tab.shape[1]),
-                                int(tri_tab.shape[1]), sky, rr_depth)
+                                tab_n(sph_tab, vmem_kinds[0]),
+                                tab_n(quad_tab, vmem_kinds[1]),
+                                tab_n(tri_tab, vmem_kinds[2]),
+                                sky, rr_depth, vmem_kinds)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -597,11 +625,13 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
     # (Mosaic requires lane indices provably 128-aligned).
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
     interp = pltpu.InterpretParams() if interpret else False
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 6, smem, smem, smem, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 6, *tab_specs, smem, smem, smem],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
@@ -617,7 +647,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
-                        rr_depth=0):
+                        rr_depth=0, vmem_kinds=(False, False, False)):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth, count]
@@ -644,10 +674,12 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
             ^ seed.astype(jnp.uint32))
         rng_d = rng_base + depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
 
-        step = _make_bounce_step(shape, t_min, t_max, sky,
-                                 n_sph, n_quad, n_tri,
-                                 sph_ref, quad_ref, tri_ref, rr_depth,
-                                 (sph_cl, quad_cl, tri_cl))
+        step = _make_bounce_step(
+            shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
+            make_reader(sph_ref, vmem_kinds[0]),
+            make_reader(quad_ref, vmem_kinds[1]),
+            make_reader(tri_ref, vmem_kinds[2]),
+            rr_depth, (sph_cl, quad_cl, tri_cl))
 
         f0 = jnp.zeros(shape, jnp.float32)
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
@@ -675,7 +707,8 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
                   sph_cl, quad_cl, tri_cl, scalars,
                   rows: int, t_min: float, t_max: float,
                   sky: Tuple[float, float, float],
-                  interpret: bool = False, rr_depth: int = 0):
+                  interpret: bool = False, rr_depth: int = 0,
+                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
     """One bounce over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 9 (R,) f32 planes
@@ -692,20 +725,26 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
     planes = [pix, *o9]
     planes = [p.reshape(n_tiles * rows, LANES) for p in planes]
 
+    def tab_n(tab, vm):
+        return int(tab.shape[0]) if vm else int(tab.shape[1])
+
     kernel = _make_bounce_kernel(rows, t_min, t_max,
-                                 int(sph_tab.shape[1]),
-                                 int(quad_tab.shape[1]),
-                                 int(tri_tab.shape[1]), sky, rr_depth)
+                                 tab_n(sph_tab, vmem_kinds[0]),
+                                 tab_n(quad_tab, vmem_kinds[1]),
+                                 tab_n(tri_tab, vmem_kinds[2]),
+                                 sky, rr_depth, vmem_kinds)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     interp = pltpu.InterpretParams() if interpret else False
 
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 10, smem, smem, smem, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 10, *tab_specs, smem, smem, smem],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
@@ -714,3 +753,13 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
 
     flat = [p.reshape(r) for p in out]
     return flat[:9], flat[9:12], flat[12]
+
+
+def to_vmem_rows(tab: np.ndarray) -> np.ndarray:
+    """(C, Np) SMEM-layout table -> (Np, 128) VMEM row layout (dynamic
+    sublane reads + static lane extracts inside the kernel)."""
+    c, n = tab.shape
+    assert c <= LANES
+    out = np.zeros((n, LANES), np.float32)
+    out[:, :c] = tab.T
+    return out
