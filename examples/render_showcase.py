@@ -76,8 +76,8 @@ def main():
     s.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
     eye = np.array([0.0, 14.0, 28.0])
     look = np.array([0.0, 7.0, 0.0])
-    render("bunny", s, Camera(eye, look - eye, 512, 512), "bvh",
-           512, 512, 8, depth=6)
+    render("bunny", s, Camera(eye, look - eye, 512, 512),
+           fast if on_tpu else "bvh", 512, 512, 8, depth=6)
 
     # BASELINE config 3-ish: dragon with specular + dielectric
     mesh = load_ply("/root/reference/assets/models/dragon.ply")
@@ -92,8 +92,8 @@ def main():
     s.add_sphere(4.0, light, ((1, 1, 1), (0, 0, 0), (15, 30, 15)))
     eye = np.array([0.0, 16.0, 32.0])
     look = np.array([0.0, 8.0, 0.0])
-    render("dragon", s, Camera(eye, look - eye, 512, 512), "bvh",
-           512, 512, 8, depth=8)
+    render("dragon", s, Camera(eye, look - eye, 512, 512),
+           fast if on_tpu else "bvh", 512, 512, 8, depth=8)
 
 
 if __name__ == "__main__":
