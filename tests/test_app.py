@@ -1,0 +1,61 @@
+"""Application-layer units: CLI arg surface and viewer input handling."""
+
+import json
+
+import numpy as np
+import pytest
+
+from parallelraytracing_tpu.cli import build_argparser
+
+
+def test_cli_defaults_match_reference_workload():
+    args = build_argparser().parse_args([])
+    assert args.scene == "random_balls_large"  # scene.h:20 default preset
+    assert args.depth == 20                    # cpu/renderer.h:34 budget
+    assert args.spp == 1                       # 1 spp per progressive frame
+
+
+def test_cli_flags_parse():
+    args = build_argparser().parse_args([
+        "--scene", "cornell", "--engine", "fused", "--width", "64",
+        "--height", "48", "--frames", "3", "--spp", "2", "--depth", "7",
+        "--seed", "9", "--no-jitter", "--eye", "1", "2", "3",
+        "--look-at", "0", "1", "0", "--out", "/tmp/x.png",
+        "--checkpoint", "/tmp/c.npz", "--platform", "cpu", "--stats"])
+    assert args.engine == "fused" and args.eye == [1.0, 2.0, 3.0]
+    assert args.no_jitter and args.stats
+
+
+def test_viewer_control_moves_camera():
+    from parallelraytracing_tpu import RenderConfig, Scene, ScenePreset
+    from parallelraytracing_tpu.core.camera import default_camera
+    from parallelraytracing_tpu.viewer.app import ViewerState
+
+    cfg = RenderConfig(width=16, height=8, max_depth=2, seed=0,
+                       intersect_chunk=8, ray_tile=1 << 10)
+    state = ViewerState(Scene(ScenePreset.MATERIAL_TEST),
+                        default_camera(16, 8), cfg, "megakernel")
+    p0 = state.camera.position.copy()
+    state.control({"kind": "zoom", "dy": -120})
+    moved = state.camera.update(0.016)
+    assert moved and not np.allclose(state.camera.position, p0)
+
+    state.control({"kind": "engine", "name": "wavefront"})
+    assert state.switch_to == "wavefront"
+    state.control({"kind": "engine", "name": "not_an_engine"})
+    assert state.switch_to == "wavefront"  # unknown names ignored
+
+    # malformed input must not raise
+    state.control({})
+    state.control({"kind": "rotate"})
+
+
+def test_viewer_png_bytes_roundtrip(tmp_path):
+    from parallelraytracing_tpu.utils.png import read_png
+    from parallelraytracing_tpu.viewer.app import _png_bytes
+
+    img = (np.arange(8 * 6 * 4).reshape(6, 8, 4) % 256).astype(np.uint8)
+    data = _png_bytes(img)
+    p = tmp_path / "f.png"
+    p.write_bytes(data)
+    np.testing.assert_array_equal(read_png(str(p)), img)
