@@ -85,3 +85,22 @@ def test_sharded_output_is_px_sharded():
     assert out.shape == (cfg.pixel_count, 3)
     # the result actually lives distributed over the px axis
     assert len(out.sharding.device_set) == 8 or len(out.sharding.device_set) == 4
+
+
+def test_sharded_fused_kernel_runs_on_mesh():
+    from parallelraytracing_tpu.ops.pallas_trace import pack_scene_tables
+    from parallelraytracing_tpu.parallel.sharding import \
+        render_frame_sharded_fused
+
+    cfg = small_cfg(width=64, height=32, max_depth=4)
+    scene = Scene(ScenePreset.MATERIAL_TEST).build()
+    tabs = pack_scene_tables(scene)
+    sky = tuple(float(x) for x in np.asarray(scene.sky))
+    tables = (*[jnp.asarray(t) for t in tabs], sky, (False, False, False))
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    mesh = make_render_mesh(spp_axis=2)
+    out = render_frame_sharded_fused(tables, cam, jax.random.PRNGKey(0),
+                                     cfg, mesh, rows=2, interpret=True)
+    out = np.asarray(out)
+    assert out.shape == (cfg.pixel_count, 3)
+    assert np.isfinite(out).all() and out.mean() > 0.1
