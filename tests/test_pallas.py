@@ -46,9 +46,11 @@ def test_scene_tables_shapes():
     import numpy as np
     assert sorted(sph[15].astype(int)) == list(range(sph.shape[1]))
     # cluster AABBs contain their primitives
-    assert sph_cl.shape[0] == 6 and sph_cl.shape[1] == -(-sph.shape[1] // 64)
+    from parallelraytracing_tpu.ops.pallas_trace import CLUSTER
+    assert sph_cl.shape[0] == 6
+    assert sph_cl.shape[1] == -(-sph.shape[1] // CLUSTER)
     for c in range(sph_cl.shape[1]):
-        lo, hi = c * 64, min((c + 1) * 64, sph.shape[1])
+        lo, hi = c * CLUSTER, min((c + 1) * CLUSTER, sph.shape[1])
         valid = sph[5, lo:hi] > 0
         if valid.any():
             centers = sph[:3, lo:hi][:, valid]
