@@ -70,6 +70,10 @@ class RenderConfig:
     # this depth (0 disables — the reference has none; listed as future work
     # in wavefront.md:91-96).
     russian_roulette_depth: int = 0
+    # Firefly clamping: cap per-sample radiance before accumulation
+    # (0 disables; biased but kills outlier speckle — wavefront.md lists it
+    # as planned future work).
+    firefly_clamp: float = 0.0
 
     @property
     def pixel_count(self) -> int:

@@ -64,6 +64,9 @@ class Renderer(abc.ABC):
         assert self._film is not None, "init() first"
         cfg = self._config
         rgb = self.render_sample_buffer(self._frame_index)
+        if cfg.firefly_clamp > 0.0:
+            import jax.numpy as jnp
+            rgb = jnp.minimum(rgb, cfg.firefly_clamp)
         self._film.add_sample_buffer(rgb, float(cfg.samples_per_frame))
         self._frame_index += 1
 

@@ -57,3 +57,15 @@ def test_diagnostics_all_ok():
     res = run_diagnostics(verbose=False)
     bad = {k: v for k, v in res.items() if not v["ok"]}
     assert not bad, bad
+
+
+def test_firefly_clamp_caps_radiance():
+    cfg = RenderConfig(width=16, height=8, max_depth=4, seed=0,
+                       firefly_clamp=0.5)
+    scene = Scene(ScenePreset.DEFAULT)  # bright emissives
+    film = Film(cfg.width, cfg.height)
+    r = create_renderer("megakernel")
+    r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+    r.progressive_render()
+    img = np.asarray(film.hdr_average())
+    assert img.max() <= 0.5 + 1e-6
