@@ -107,6 +107,32 @@ class Camera:
 
         return moved
 
+    def get_view_projection(self) -> np.ndarray:
+        """Camera::GetViewProjection (camera.h:87-94): right-handed lookAt
+        view x perspective with fovy=1 rad, zero-to-one depth range —
+        provided for rasterization-side consumers; the path tracer itself
+        generates rays directly."""
+        f = self.front
+        r = self.right
+        u = self.up
+        eye = self.position
+        view = np.eye(4)
+        view[0, :3], view[1, :3], view[2, :3] = r, u, -f
+        view[0, 3] = -np.dot(r, eye)
+        view[1, 3] = -np.dot(u, eye)
+        view[2, 3] = np.dot(f, eye)
+
+        fovy, near, far = 1.0, 0.01, 1000.0
+        aspect = self.width / self.height
+        t = 1.0 / math.tan(fovy / 2.0)
+        proj = np.zeros((4, 4))
+        proj[0, 0] = t / aspect
+        proj[1, 1] = t
+        proj[2, 2] = far / (near - far)          # RH zero-to-one depth
+        proj[2, 3] = -(far * near) / (far - near)
+        proj[3, 2] = -1.0
+        return proj @ view
+
     # --------------------------------------------------------- ray params
     def ray_params(self) -> np.ndarray:
         """Pack the camera into a flat f32 vector consumed on device:

@@ -61,6 +61,14 @@ class Film:
         self.weights = jnp.zeros((self.height, self.width), dtype)
         self.sample_count = 0
 
+    def resize(self, width: int, height: int) -> None:
+        """Film::Resize (film.cu:11-23): reallocate buffers and reset."""
+        self.width = int(width)
+        self.height = int(height)
+        self.accum = jnp.zeros((self.height, self.width, 3), self._dtype)
+        self.weights = jnp.zeros((self.height, self.width), self._dtype)
+        self.sample_count = 0
+
     # ------------------------------------------------------------------
     def clear(self) -> None:
         """Film::Clear (film.cu:25-35) — progressive reset on camera move."""

@@ -69,3 +69,27 @@ def test_firefly_clamp_caps_radiance():
     r.progressive_render()
     img = np.asarray(film.hdr_average())
     assert img.max() <= 0.5 + 1e-6
+
+
+def test_film_resize():
+    film = Film(4, 2)
+    import jax.numpy as jnp
+    film.add_sample_buffer(jnp.ones((2, 4, 3)))
+    film.resize(8, 6)
+    assert film.width == 8 and film.height == 6
+    assert film.sample_count == 0
+    assert np.asarray(film.accum).shape == (6, 8, 3)
+
+
+def test_camera_view_projection():
+    cam = default_camera(640, 480)
+    vp = cam.get_view_projection()
+    # the look-at focus (origin) projects to the screen center
+    p = vp @ np.array([0.0, 0.0, 0.0, 1.0])
+    ndc = p[:3] / p[3]
+    assert abs(ndc[0]) < 1e-6 and abs(ndc[1]) < 1e-6
+    assert 0.0 < ndc[2] < 1.0  # inside the zero-to-one depth range
+    # a point behind the camera lands outside the frustum
+    behind = cam.position + cam.front * -5.0
+    pb = vp @ np.array([*behind, 1.0])
+    assert pb[3] < 0
