@@ -25,6 +25,22 @@ import time
 
 
 def main() -> None:
+    # The remote compile service occasionally hangs for tens of minutes;
+    # emit an honest failure record instead of hanging the harness.
+    import signal
+
+    def _timeout(signum, frame):
+        print(json.dumps({
+            "metric": "Mrays_per_sec_per_chip", "value": 0.0,
+            "unit": "Mrays/s", "vs_baseline": 0.0,
+            "detail": {"error": "bench timed out (TPU compile service)"},
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "3000")))
+
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_compilation"))
     import jax
