@@ -89,7 +89,7 @@ def main() -> None:
             r = create_renderer(name)
             r.init(film, scene, cam, cfg)
             # Warm up / compile (device_sync: block_until_ready does not
-            # actually wait on the axon backend).
+            # actually wait on this TPU plugin backend).
             r.progressive_render()
             device_sync(film.accum)
             engine = name

@@ -1,6 +1,6 @@
 """Device synchronization that actually waits.
 
-On the axon TPU backend `jax.block_until_ready` returns before execution
+On some TPU plugin backends `jax.block_until_ready` returns before execution
 finishes (buffer metadata is available early), which silently breaks
 wall-clock measurement.  `device_sync` forces completion by materializing
 a tiny reduction on the host — the universally-correct fence."""

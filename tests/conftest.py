@@ -1,8 +1,8 @@
 """Test config: force CPU jax with 8 virtual devices so multi-chip sharding
 logic is testable without a TPU pod (SURVEY.md §4).
 
-NOTE: the JAX_PLATFORMS env var is overridden by the axon TPU plugin's
-sitecustomize on this image, so the platform must be forced through
+NOTE: the JAX_PLATFORMS env var can be overridden by a TPU plugin's
+sitecustomize, so the platform must be forced through
 jax.config BEFORE any backend initialization."""
 
 import jax
