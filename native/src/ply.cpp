@@ -41,6 +41,7 @@ struct Mesh {
 };
 
 int type_size(const std::string& t, bool* is_float, bool* is_signed) {
+  if (t.empty()) { *is_float = false; *is_signed = false; return 0; }
   *is_float = (t == "float" || t == "float32" || t == "double" || t == "float64");
   *is_signed = (t[0] == 'i' || t == "char" || t == "short" || t == "int");
   if (t == "char" || t == "int8" || t == "uchar" || t == "uint8") return 1;
@@ -140,7 +141,16 @@ void* prt_ply_load(const char* path) {
   }
   if (!ascii && !binary_le) return nullptr;
 
+  // Reject absurd element counts up front: every row consumes at least one
+  // byte (binary) or one token (ascii), so counts beyond the file size are
+  // malformed and would otherwise drive huge reserve() calls.
+  for (const auto& el : elements) {
+    if (el.count < 0 || el.count > static_cast<int64_t>(data.size()))
+      return nullptr;
+  }
+
   auto* mesh = new Mesh();
+  auto fail = [mesh]() -> void* { delete mesh; return nullptr; };
   std::vector<std::string> toks;
   size_t tok_pos = 0;
   if (ascii) {
@@ -175,6 +185,18 @@ void* prt_ply_load(const char* path) {
       if (ui >= 0) mesh->uvs.reserve(el.count * 2);
     }
 
+    // A vertex element must carry all of x/y/z; emitting positions from a
+    // partial set would index row[-1].
+    if (is_vertex && (xi < 0 || yi < 0 || zi < 0)) return fail();
+
+    // Every read below is bounds-checked: list counts and scalar sizes come
+    // straight from the (untrusted) file, so a truncated or malicious .ply
+    // must fail cleanly instead of over-reading the heap.
+    const int64_t kMaxListLen = 1 << 20;
+    auto bin_ok = [&](int64_t n) {
+      return n >= 0 && off + static_cast<uint64_t>(n) <= data.size();
+    };
+
     std::vector<double> row(el.props.size());
     std::vector<double> list_vals;
     for (int64_t i = 0; i < el.count; ++i) {
@@ -183,8 +205,10 @@ void* prt_ply_load(const char* path) {
         const Prop& pr = el.props[p];
         if (!pr.is_list) {
           if (ascii) {
+            if (tok_pos >= toks.size()) return fail();
             row[p] = std::strtod(toks[tok_pos++].c_str(), nullptr);
           } else {
+            if (pr.type_size <= 0 || !bin_ok(pr.type_size)) return fail();
             row[p] = read_scalar(data.data() + off, pr.type_size,
                                  pr.is_float, false);
             off += pr.type_size;
@@ -192,14 +216,23 @@ void* prt_ply_load(const char* path) {
         } else {
           int64_t cnt;
           if (ascii) {
+            if (tok_pos >= toks.size()) return fail();
             cnt = std::strtoll(toks[tok_pos++].c_str(), nullptr, 10);
+            if (cnt < 0 || cnt > kMaxListLen ||
+                tok_pos + static_cast<uint64_t>(cnt) > toks.size())
+              return fail();
             for (int64_t k = 0; k < cnt; ++k)
               list_vals.push_back(
                   std::strtod(toks[tok_pos++].c_str(), nullptr));
           } else {
+            if (pr.count_size <= 0 || pr.value_size <= 0 ||
+                !bin_ok(pr.count_size))
+              return fail();
             cnt = static_cast<int64_t>(read_scalar(
                 data.data() + off, pr.count_size, false, false));
             off += pr.count_size;
+            if (cnt > kMaxListLen || !bin_ok(cnt * pr.value_size))
+              return fail();
             for (int64_t k = 0; k < cnt; ++k) {
               list_vals.push_back(read_scalar(data.data() + off,
                                               pr.value_size, false,
@@ -231,6 +264,12 @@ void* prt_ply_load(const char* path) {
         }
       }
     }
+  }
+  // Face indices must address real vertices (negative values wrapped to
+  // huge uint32 above; either way they would over-read the vertex arrays).
+  const uint64_t nvert = mesh->verts.size() / 3;
+  for (uint32_t ix : mesh->idx) {
+    if (ix >= nvert) return fail();
   }
   return mesh;
 }

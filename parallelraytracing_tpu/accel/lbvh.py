@@ -261,6 +261,19 @@ def scene_primitive_aabbs(scene: SceneData):
             np.concatenate(kinds), np.concatenate(idxs))
 
 
+def _global_ordinals(scene: SceneData, kind: np.ndarray,
+                     idx: np.ndarray) -> np.ndarray:
+    """Global primitive ordinal = kind offset + within-kind index (spheres,
+    quads, triangles) — the tie-break convention shared with
+    ops/intersect.py's scan order and ops/pallas_trace.py's ord columns, so
+    coplanar equal-t hits resolve identically on every path."""
+    n_sph = int(np.asarray(scene.sph_valid).shape[0])
+    n_quad = int(np.asarray(scene.quad_valid).shape[0])
+    off = np.where(kind == KIND_SPHERE, 0,
+                   np.where(kind == KIND_QUAD, n_sph, n_sph + n_quad))
+    return off + idx
+
+
 def build_bvh(scene: SceneData, dtype=jnp.float32,
               prefer_native: bool = True) -> BVHData:
     """Build the threaded LBVH for a compiled scene.
@@ -290,7 +303,7 @@ def _assemble_bvh_native(scene, mn, mx, kind, idx, dtype) -> BVHData:
     src = order[payload[leaf_slots]]
     node_kind[leaf_slots] = kind[src]
     node_idx[leaf_slots] = idx[src]
-    node_ord[leaf_slots] = src
+    node_ord[leaf_slots] = _global_ordinals(scene, kind[src], idx[src])
     return BVHData(
         node_min=jnp.asarray(node_min, dtype),
         node_max=jnp.asarray(node_max, dtype),
@@ -340,12 +353,12 @@ def _build_bvh_python(scene: SceneData, mn, mx, kind, idx,
     node_max[leaf_slots] = mx[src]
     node_kind[leaf_slots] = kind[src]
     node_idx[leaf_slots] = idx[src]
-    # Global ordinal = position in the (spheres, quads, tris) concatenation:
-    # ties at identical t (e.g. coplanar overlapping quads — Cornell's light
-    # overlaps its walls) resolve to the lowest ordinal, matching the
-    # strict-< first-wins loops of the reference (primitive.cpp:42-48,
+    # Global ordinal (kind offset + within-kind index): ties at identical t
+    # (e.g. coplanar overlapping quads — Cornell's light overlaps its walls)
+    # resolve to the lowest ordinal, matching the strict-< first-wins loops
+    # of the reference (primitive.cpp:42-48,
     # cuda_megakernel/renderer.cu:59-67) and our brute-force fold.
-    node_ord[leaf_slots] = src
+    node_ord[leaf_slots] = _global_ordinals(scene, kind[src], idx[src])
 
     # Internal AABBs: preorder guarantees children come after parents, so a
     # reverse sweep unioning each node into its parent works; we instead

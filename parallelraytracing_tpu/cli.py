@@ -44,7 +44,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="sample pixel centers (reference CPU/CUDA behavior)")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
-    p.add_argument("--look-at", type=float, nargs=3, default=(0, 0, 0),
+    p.add_argument("--look-at", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=2.2)
@@ -107,8 +107,9 @@ def main(argv=None) -> int:
 
     eye = np.asarray(args.eye if args.eye is not None else default_eye,
                      np.float64)
-    look = np.asarray(args.look_at if args.eye is not None else default_look,
-                      np.float64)
+    look = np.asarray(
+        args.look_at if args.look_at is not None else default_look,
+        np.float64)
     cam = Camera(eye, look - eye, float(args.width), float(args.height), 100.0)
 
     if args.resume:

@@ -27,11 +27,30 @@ _SO_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "_native.so")
 
 
+def _try_build() -> None:
+    """Build _native.so from source if a toolchain is present.
+
+    The binary is not committed (unreviewable, host-specific); it is
+    compiled on first use from native/src/ — a ~2s one-time cost."""
+    makefile = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "Makefile")
+    if not os.path.exists(makefile):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(makefile)],
+                       capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        _try_build()
     if not os.path.exists(_SO_PATH):
         return None
     try:

@@ -84,20 +84,29 @@ def _pad_chunks(arrs, valid, chunk):
     return out, v.reshape((n + n_pad) // k, k)
 
 
-def _fold_best(carry, t, hit, front, idx_base, kind):
-    """Fold chunk results (R,K) into the running closest-hit carry."""
-    best_t, best_kind, best_idx, best_front = carry
+def _fold_best(carry, t, hit, front, idx_base, kind, ord_base):
+    """Fold chunk results (R,K) into the running closest-hit carry.
+
+    Ties at identical t resolve to the lowest GLOBAL ordinal
+    (ord = kind offset + within-kind index, the same convention as the BVH
+    and Pallas paths), matching the reference's strict-< first-wins scan
+    (primitive.cpp:42-48).  Within a chunk argmin already picks the lowest
+    index; across chunks/kinds the carried ordinal decides."""
+    best_t, best_kind, best_idx, best_front, best_ord = carry
     t = jnp.where(hit, t, _BIG)
     chunk_min = jnp.min(t, axis=1)
     chunk_arg = jnp.argmin(t, axis=1).astype(jnp.int32)
     rows = jnp.arange(t.shape[0])
     chunk_front = front[rows, chunk_arg] if front is not None else jnp.ones_like(chunk_min, dtype=bool)
-    better = chunk_min < best_t
+    chunk_ord = ord_base + idx_base + chunk_arg
+    better = (chunk_min < best_t) | (
+        (chunk_min == best_t) & (chunk_min < _BIG) & (chunk_ord < best_ord))
     return (
         jnp.where(better, chunk_min, best_t),
         jnp.where(better, jnp.int32(kind), best_kind),
         jnp.where(better, idx_base + chunk_arg, best_idx),
         jnp.where(better, chunk_front, best_front),
+        jnp.where(better, chunk_ord, best_ord),
     )
 
 
@@ -168,7 +177,14 @@ def intersect_scene(scene: SceneData, o: jax.Array, d: jax.Array,
     w = jnp.cross(o, d)
 
     carry = (jnp.full((r,), _BIG), jnp.full((r,), -1, jnp.int32),
-             jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool))
+             jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool),
+             jnp.full((r,), 2**30, jnp.int32))
+
+    # Global ordinal offsets: spheres, then quads, then triangles — shared
+    # with accel/lbvh.py and ops/pallas_trace.py so equal-t ties resolve to
+    # the same primitive on every path.
+    n_sph = scene.sph_center.shape[0]
+    n_quad = scene.quad_normal.shape[0]
 
     # Spheres
     (c_ck, r_ck), v_ck = _pad_chunks(
@@ -179,7 +195,7 @@ def intersect_scene(scene: SceneData, o: jax.Array, d: jax.Array,
         i, center, radius, valid = inp
         t, hit, front = _sphere_chunk(o, d, do, oo, center, radius, valid,
                                       t_min, t_max)
-        return _fold_best(carry, t, hit, front, i * k, KIND_SPHERE), None
+        return _fold_best(carry, t, hit, front, i * k, KIND_SPHERE, 0), None
 
     idxs = jnp.arange(c_ck.shape[0], dtype=jnp.int32)
     carry, _ = jax.lax.scan(sph_step, carry, (idxs, c_ck, r_ck, v_ck))
@@ -201,7 +217,8 @@ def intersect_scene(scene: SceneData, o: jax.Array, d: jax.Array,
         i, n_, cn_, us_, cu_, vs_, cv_, valid = inp
         t, hit, front = _quad_chunk(o, d, n_, cn_, us_, cu_, vs_, cv_, valid,
                                     t_min, t_max)
-        return _fold_best(carry, t, hit, front, i * kq, KIND_QUAD), None
+        return _fold_best(carry, t, hit, front, i * kq, KIND_QUAD,
+                          n_sph), None
 
     idxs = jnp.arange(n_ck.shape[0], dtype=jnp.int32)
     carry, _ = jax.lax.scan(
@@ -222,14 +239,15 @@ def intersect_scene(scene: SceneData, o: jax.Array, d: jax.Array,
         i, ng_, p0ng_, e1_, e2_, e2xp0_, p0xe1_, valid = inp
         t, hit, front = _tri_chunk(o, d, w, ng_, p0ng_, e1_, e2_, e2xp0_,
                                    p0xe1_, valid, t_min, t_max)
-        return _fold_best(carry, t, hit, front, i * kt, KIND_TRIANGLE), None
+        return _fold_best(carry, t, hit, front, i * kt, KIND_TRIANGLE,
+                          n_sph + n_quad), None
 
     idxs = jnp.arange(ng_ck.shape[0], dtype=jnp.int32)
     carry, _ = jax.lax.scan(
         tri_step, carry,
         (idxs, ng_ck, p0ng_ck, e1_ck, e2_ck, e2xp0_ck, p0xe1_ck, tv_ck))
 
-    best_t, best_kind, best_idx, best_front = carry
+    best_t, best_kind, best_idx, best_front, _ = carry
     return resolve_hit(scene, o, d, best_t, best_kind, best_idx, best_front,
                        t_min)
 

@@ -73,3 +73,73 @@ def test_png_roundtrip_via_python_reader():
         np.testing.assert_array_equal(back, img)
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------- hardening
+# The parser consumes untrusted files (cli.py --ply): every malformed input
+# must fail cleanly (IOError from a nullptr handle), never over-read.
+
+def _expect_reject(tmp_path, name, content: bytes):
+    p = tmp_path / name
+    p.write_bytes(content)
+    with pytest.raises(IOError):
+        native.load_ply(str(p))
+
+
+def test_ply_truncated_binary_rejected(tmp_path):
+    head = (b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 100\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n")
+    # promises 100 vertices, delivers 2
+    _expect_reject(tmp_path, "trunc.ply", head + b"\x00" * 24)
+
+
+def test_ply_huge_list_count_rejected(tmp_path):
+    head = (b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 1\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face 1\n"
+            b"property list uint32 uint32 vertex_indices\n"
+            b"end_header\n")
+    body = b"\x00" * 12 + (0xFFFFFFFF).to_bytes(4, "little") + b"\x00" * 8
+    _expect_reject(tmp_path, "biglist.ply", head + body)
+
+
+def test_ply_vertex_missing_y_rejected(tmp_path):
+    head = (b"ply\nformat ascii 1.0\n"
+            b"element vertex 1\nproperty float x\n"
+            b"end_header\n1.0\n")
+    _expect_reject(tmp_path, "noy.ply", head)
+
+
+def test_ply_ascii_missing_tokens_rejected(tmp_path):
+    head = (b"ply\nformat ascii 1.0\n"
+            b"element vertex 3\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n1 2 3\n4 5\n")
+    _expect_reject(tmp_path, "fewtoks.ply", head)
+
+
+def test_ply_out_of_range_index_rejected(tmp_path):
+    head = (b"ply\nformat ascii 1.0\n"
+            b"element vertex 3\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face 1\n"
+            b"property list uchar int vertex_indices\n"
+            b"end_header\n"
+            b"0 0 0\n1 0 0\n0 1 0\n"
+            b"3 0 1 7\n")  # vertex 7 of 3
+    _expect_reject(tmp_path, "badidx.ply", head)
+
+
+def test_ply_negative_index_rejected(tmp_path):
+    head = (b"ply\nformat ascii 1.0\n"
+            b"element vertex 3\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face 1\n"
+            b"property list uchar int vertex_indices\n"
+            b"end_header\n"
+            b"0 0 0\n1 0 0\n0 1 0\n"
+            b"3 0 1 -1\n")
+    _expect_reject(tmp_path, "negidx.ply", head)
