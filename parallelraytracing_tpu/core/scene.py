@@ -153,6 +153,12 @@ class Scene:
         self._quad: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
         self._tri: List[Tuple] = []  # v0,v1,v2,n0,n1,n2,mat
 
+        # Instanced meshes (TLAS/BLAS path): unique meshes + records of
+        # (mesh index, material, 4x4 transform).  NOT baked — geometry
+        # memory stays proportional to unique meshes.
+        self._inst_meshes: List = []
+        self._instances: List[Tuple[int, int, np.ndarray]] = []
+
         # Set per preset (scene.cpp:65,282,334) but never consumed by the
         # reference backends (they hardcode the sky) — so by default we
         # also ignore it for image fidelity. Set use_sky_intensity=True to
@@ -263,20 +269,66 @@ class Scene:
     def add_mesh_instances(self, mesh, material: int,
                            transforms: Sequence[TransformSpec]) -> None:
         """Instance a mesh under several transforms (the role of the
-        reference's OptiX IAS, optix/renderer.cpp:833-870). Instances are
-        currently baked to world space at build time — functionally
-        equivalent to a TLAS/BLAS at higher memory cost; a true two-level
-        BVH replaces the bake in a later round."""
+        reference's OptiX IAS, optix/renderer.cpp:833-870).
+
+        Instances are stored as {mesh, material, transform} records — NOT
+        baked, so memory is proportional to unique meshes.  The two-level
+        traversal (accel/tlas.py, engine "tlas") consumes them natively;
+        flat engines get a world-baked copy only when build() compiles the
+        flat SceneData (documented replication for backends without
+        instancing support — the reference's non-OptiX backends have no
+        instancing at all)."""
+        self._cache = None
+        for i, m in enumerate(self._inst_meshes):
+            if m is mesh:
+                mesh_i = i
+                break
+        else:
+            self._inst_meshes.append(mesh)
+            mesh_i = len(self._inst_meshes) - 1
         for t in transforms:
-            self.add_mesh(mesh, material, t)
+            self._instances.append((mesh_i, material,
+                                    _resolve_transform(t)))
 
     @property
     def num_primitives(self) -> int:
-        return len(self._sph) + len(self._quad) + len(self._tri)
+        inst_tris = sum(
+            len(np.asarray(self._inst_meshes[mi].indices)) // 3
+            for mi, _, _ in self._instances)
+        return len(self._sph) + len(self._quad) + len(self._tri) + inst_tris
+
+    @property
+    def instances(self):
+        return list(self._instances)
+
+    def build_two_level(self, dtype=jnp.float32):
+        """Compile for the two-level (TLAS/BLAS) path: returns
+        (base SceneData WITHOUT the instanced meshes, TwoLevelBVH or None
+        when the scene has no instances)."""
+        base = self.build(dtype=dtype, bake_instances=False)
+        if not self._instances:
+            return base, None
+        from parallelraytracing_tpu.accel.tlas import build_two_level
+        return base, build_two_level(self._inst_meshes, self._instances,
+                                     dtype=dtype)
+
+    def _baked_instance_tris(self) -> List[Tuple]:
+        """World-bake the stored instances into triangle records (for flat
+        engines without two-level traversal; the TLAS path never calls
+        this)."""
+        out: List[Tuple] = []
+        saved = self._tri
+        try:
+            self._tri = out
+            for mesh_i, mat, m4 in self._instances:
+                self.add_mesh(self._inst_meshes[mesh_i], mat, m4)
+        finally:
+            self._tri = saved
+        return out
 
     # ---------------------------------------------------------------- build
-    def build(self, dtype=jnp.float32) -> SceneData:
-        if self._cache is not None:
+    def build(self, dtype=jnp.float32, bake_instances: bool = True) -> SceneData:
+        if bake_instances and self._cache is not None:
             return self._cache
 
         def f32(x):
@@ -298,10 +350,12 @@ class Scene:
         quad_normal = f32([q[3] for q in quad])
         quad_mat = jnp.asarray([q[4] for q in quad], dtype=jnp.int32)
 
-        tri = self._tri or [(np.zeros(3), np.zeros(3), np.zeros(3),
-                             np.array([0, 1.0, 0]), np.array([0, 1.0, 0]),
-                             np.array([0, 1.0, 0]), 0)]
-        tri_valid = np.array([True] * len(self._tri) or [False])
+        tris = self._tri + (self._baked_instance_tris()
+                            if bake_instances and self._instances else [])
+        tri = tris or [(np.zeros(3), np.zeros(3), np.zeros(3),
+                        np.array([0, 1.0, 0]), np.array([0, 1.0, 0]),
+                        np.array([0, 1.0, 0]), 0)]
+        tri_valid = np.array([True] * len(tris) or [False])
         tri_v0 = f32([t[0] for t in tri])
         tri_v1 = f32([t[1] for t in tri])
         tri_v2 = f32([t[2] for t in tri])
@@ -332,7 +386,8 @@ class Scene:
             sky=f32(self.sky_color * (self.sky_light_intensity
                                       if self.use_sky_intensity else 1.0)),
         )
-        self._cache = data
+        if bake_instances:
+            self._cache = data
         return data
 
 

@@ -23,6 +23,11 @@ try:
     from parallelraytracing_tpu.engines import hybrid as _hybrid  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import \
+        wavefront_fused as _wavefront_fused  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]

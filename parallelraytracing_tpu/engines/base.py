@@ -40,6 +40,7 @@ class Renderer(abc.ABC):
         cuda_megakernel/renderer.cu:276-355)."""
         self._film = film
         self._config = config or RenderConfig(width=film.width, height=film.height)
+        self._scene = scene
         self._scene_data = jax.device_put(scene.build())
         self.set_camera(camera)
         self._frame_index = 0

@@ -1,13 +1,28 @@
 """Fused engine: the Pallas megakernel (whole bounce loop in VMEM).
 
-The performance engine for moderate primitive counts: unlike the jnp
-engines (whose per-bounce intermediates round-trip HBM), one kernel
-invocation traces a ray tile start-to-finish.  Uses interpret mode
-automatically off-TPU so it stays testable on CPU."""
+The performance engine: unlike the jnp engines (whose per-bounce
+intermediates round-trip HBM), one kernel invocation traces a ray tile
+start-to-finish.  Two levers make the in-kernel hierarchy actually cull
+(VERDICT round-1 items 2-3):
+
+- acceleration structure: a threaded BVH over the Morton primitive
+  clusters, walked in lockstep inside the kernel (pallas_trace tree_walk)
+  — per-bounce cost ~O(visited nodes) instead of a linear scan of every
+  cluster.  PRT_TRAVERSAL=linear reverts to the flat cluster scan for
+  comparison.
+- ray coherence: camera rays are permuted into Morton (Z-order) of their
+  pixel coordinates before tracing, so each rows*128 kernel tile covers a
+  compact screen block instead of a 2048-pixel scanline strip.  Coherent
+  tiles enter fewer clusters AND die together (the kernel's whole-tile
+  early-exit fires sooner).  PRT_MORTON=0 disables for comparison.
+
+Uses interpret mode automatically off-TPU so it stays testable on CPU.
+"""
 
 from __future__ import annotations
 
-from functools import partial
+import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +39,36 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of v over 32 (x -> 0x0x0x... interleave)."""
+    v = v.astype(np.uint64) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+@functools.lru_cache(maxsize=8)
+def morton_pixel_perm(width: int, height: int):
+    """(perm, inv) int32 arrays mapping scanline pixel order <-> Morton
+    (Z-order) pixel order: perm[i] = pixel id at sorted position i,
+    inv[p] = sorted position of pixel p.  Host-side, cached per
+    resolution (static camera-independent layout)."""
+    xx = _part1by1(np.arange(width, dtype=np.uint64))
+    yy = _part1by1(np.arange(height, dtype=np.uint64)) << np.uint64(1)
+    code = (yy[:, None] | xx[None, :]).reshape(-1)
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
+
+
 @register_engine
 class FusedRenderer(Renderer):
     name = "fused"
 
     #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
-    import os as _os
-    rows: int = int(_os.environ.get("PRT_ROWS", "16"))
+    rows: int = int(os.environ.get("PRT_ROWS", "16"))
 
     #: SMEM capacity guard: scene tables must fit scalar memory.
     max_table_bytes: int = 1 << 19
@@ -39,13 +77,21 @@ class FusedRenderer(Renderer):
     #: scalar layout to VMEM row layout (dynamic-sublane reads).
     vmem_threshold: int = 2048
 
+    #: in-kernel culling structure: "auto" (per-kind by cluster count),
+    #: "tree" (threaded cluster-BVH walk) or "linear" (flat cluster scan).
+    accel: str = os.environ.get("PRT_TRAVERSAL", "auto")
+
+    #: Morton-order camera rays so kernel tiles are screen-space blocks.
+    morton_rays: bool = os.environ.get("PRT_MORTON", "1") != "0"
+
     def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
-        sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
-            jax.device_get(self._scene_data))
+        sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
+            jax.device_get(self._scene_data), accel=self.accel)
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
+        self._mats = jax.device_put(jnp.asarray(mats))
         tabs = []
         kinds = []
         for tab in (sph, quad, tri):
@@ -56,6 +102,13 @@ class FusedRenderer(Renderer):
         self._sph_tab, self._quad_tab, self._tri_tab = tabs
         self._vmem_kinds = tuple(kinds)
         self._interpret = not _on_tpu()
+        cfg = self.config
+        if self.morton_rays:
+            perm, inv = morton_pixel_perm(cfg.width, cfg.height)
+            self._perm = jax.device_put(jnp.asarray(perm))
+            self._inv = jax.device_put(jnp.asarray(inv))
+        else:
+            self._perm = self._inv = None
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config
@@ -74,18 +127,27 @@ class FusedRenderer(Renderer):
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
                           cfg.jitter)
+            if self._perm is not None:
+                o = jnp.take(o, self._perm, axis=0)
+                d = jnp.take(d, self._perm, axis=0)
+                pix = self._perm.astype(jnp.float32)
+            else:
+                pix = jnp.arange(r, dtype=jnp.float32)
             if pad:
                 o = jnp.pad(o, ((0, pad), (0, 0)))
                 d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+                pix = jnp.pad(pix, (0, pad))
             seed = jnp.asarray(
                 [jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)],
                 jnp.int32)
-            rad = pallas_trace(o, d, self._sph_tab, self._quad_tab,
+            rad = pallas_trace(o, d, pix, self._sph_tab, self._quad_tab,
                                self._tri_tab, self._sph_cl, self._quad_cl,
-                               self._tri_cl, seed, self.rows,
+                               self._tri_cl, self._mats, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                                interpret=self._interpret,
                                rr_depth=cfg.russian_roulette_depth,
                                vmem_kinds=self._vmem_kinds)[:r]
+            if self._inv is not None:
+                rad = jnp.take(rad, self._inv, axis=0)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

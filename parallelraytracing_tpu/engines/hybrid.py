@@ -39,7 +39,7 @@ from parallelraytracing_tpu.ops.pallas_trace import (LANES, pack_scene_tables,
          static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                           "interpret", "rr_depth", "vmem_kinds"))
 def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab,
-                 sph_cl, quad_cl, tri_cl, seed,
+                 sph_cl, quad_cl, tri_cl, mats, seed,
                  rows: int, max_depth: int, t_min: float, t_max: float,
                  sky, interpret: bool = False, rr_depth: int = 0,
                  vmem_kinds=(False, False, False)):
@@ -74,7 +74,7 @@ def hybrid_trace(o, d, sph_tab, quad_tab, tri_tab,
         scalars = jnp.stack([seed[0], depth, count]).astype(jnp.int32)
         new9, radd, alive = pallas_bounce(
             qpix, tuple(q9), sph_tab, quad_tab, tri_tab,
-            sph_cl, quad_cl, tri_cl, scalars,
+            sph_cl, quad_cl, tri_cl, mats, scalars,
             rows, t_min, t_max, sky, interpret, rr_depth, vmem_kinds)
 
         # Scatter updated state back to the pool (only live queue slots).
@@ -113,11 +113,12 @@ class HybridRenderer(Renderer):
 
     def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
-        sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(
+        sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
             jax.device_get(self._scene_data))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
+        self._mats = jax.device_put(jnp.asarray(mats))
         tabs = []
         kinds = []
         for tab in (sph, quad, tri):
@@ -143,7 +144,7 @@ class HybridRenderer(Renderer):
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
             rad = hybrid_trace(o, d, self._sph_tab, self._quad_tab,
                                self._tri_tab, self._sph_cl, self._quad_cl,
-                               self._tri_cl, seed, self.rows,
+                               self._tri_cl, self._mats, seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                                self._interpret,
                                cfg.russian_roulette_depth,

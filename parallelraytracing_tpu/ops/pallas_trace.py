@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallelraytracing_tpu.core.scene import (
+    KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE,
     MAT_DIELECTRIC, MAT_EMISSIVE, MAT_LAMBERTIAN, MAT_METAL, SceneData)
 
 LANES = 128
@@ -79,21 +80,107 @@ def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return out
 
 
-def pack_scene_tables(scene: SceneData):
-    """Returns (sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
-    float32 host arrays.  Primitives of each kind are sorted by the Morton
-    code of their AABB centroid so consecutive runs of CLUSTER primitives
-    are spatially tight; *_cl holds each run's union AABB, letting the
-    kernel skip whole clusters with one scalar-predicated slab test — an
-    in-kernel two-level hierarchy with zero per-lane gathers.
+def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
+    """(6, n_cl) cluster-union bounds -> (9, M) threaded BVH table.
 
-    sph_tab  (16, Ns): cx cy cz r2 inv_r valid | mat(9) | ord
-    quad_tab (23, Nq): n(3) cn us(3) cu vs(3) cv valid | mat(9) | ord
-    tri_tab  (36, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
-                       n0(3) n1(3) n2(3) valid | mat(9) | ord
-    where mat(9) = mtype alb(3) emit(3) rough ior and ord is the original
-    build order (the reference's first-wins tie-break for coplanar
-    equal-t hits, primitive.cpp:42-48).
+    The in-kernel acceleration structure (the role of the reference's
+    OptiX GAS, optix/renderer.cpp:703-831): a Karras radix tree built over
+    the Morton-run clusters, flattened to threaded preorder so a
+    whole-tile lockstep walk needs no stack.  Layout per node column:
+    rows 0-5 AABB (min xyz, max xyz), row 6 miss link (-1 terminates),
+    row 7 leaf primitive-range start (-1 for internal nodes), row 8 range
+    end.  Links are stored as f32 (exact below 2^24 — node counts are
+    bounded far under that).  M = 2*n_cl - 1."""
+    from parallelraytracing_tpu.accel.lbvh import (_karras_tree, morton3d,
+                                                   thread_tree)
+    n_cl = cl.shape[1]
+    # Effective boxes: the kernel's slab test is min/max-swap insensitive,
+    # so an "inverted" empty box behaves as its swapped corners.
+    emn = np.minimum(cl[:3], cl[3:]).T.astype(np.float64)  # (n_cl, 3)
+    emx = np.maximum(cl[:3], cl[3:]).T.astype(np.float64)
+    if n_cl == 1:
+        out = np.zeros((9, 1), np.float32)
+        out[:6, 0] = cl[:, 0]
+        out[6, 0] = -1.0
+        out[7, 0] = 0.0
+        out[8, 0] = float(n_prims)
+        return out
+
+    cen = (emn + emx) * 0.5
+    lo = cen.min(0)
+    ext = np.maximum(cen.max(0) - lo, 1e-12)
+    codes = morton3d((cen - lo) / ext)
+    order = np.argsort(codes, kind="stable")
+    keys = (codes[order].astype(np.uint64) << np.uint64(31)) \
+        | np.arange(n_cl, dtype=np.uint64)
+    left, right = _karras_tree(keys)
+    is_leaf, payload, miss = thread_tree(left, right, n_cl)
+
+    m = 2 * n_cl - 1
+    out = np.zeros((9, m), np.float32)
+    node_mn = np.zeros((m, 3))
+    node_mx = np.zeros((m, 3))
+    leaf_slots = np.nonzero(is_leaf)[0]
+    src = order[payload[leaf_slots]]          # cluster id per leaf
+    node_mn[leaf_slots] = emn[src]
+    node_mx[leaf_slots] = emx[src]
+    out[7] = -1.0
+    out[7, leaf_slots] = src * CLUSTER
+    out[8, leaf_slots] = np.minimum(src * CLUSTER + CLUSTER, n_prims)
+
+    # Internal AABBs: reverse-preorder stack sweep (children precede their
+    # parent when walking preorder backwards).
+    stack = []
+    for s in range(m - 1, -1, -1):
+        if is_leaf[s]:
+            stack.append((node_mn[s].copy(), node_mx[s].copy()))
+        else:
+            mn1, mx1 = stack.pop()
+            mn2, mx2 = stack.pop()
+            node_mn[s] = np.minimum(mn1, mn2)
+            node_mx[s] = np.maximum(mx1, mx2)
+            stack.append((node_mn[s], node_mx[s]))
+    assert len(stack) == 1
+    out[:3] = node_mn.T
+    out[3:6] = node_mx.T
+    out[6] = miss
+    return np.ascontiguousarray(out)
+
+
+# Cluster count above which "auto" picks the BVH walk over the linear
+# scan for a kind.  Measured on the v5e tile (benchmarks/RESULTS.md): at
+# 26 clusters the linear scan's 26 cheap slab tests beat the walk's
+# while-loop overhead; at mesh scale (hundreds of clusters) the walk's
+# O(visited) wins.
+TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "64"))
+
+
+def pack_scene_tables(scene: SceneData, accel: str = "auto"):
+    """Returns (sph_tab, quad_tab, tri_tab, sph_acc, quad_acc, tri_acc,
+    mats) float32 host arrays.  Primitives of each kind are sorted by the Morton
+    code of their AABB centroid so consecutive runs of CLUSTER primitives
+    are spatially tight; *_acc is the per-kind acceleration table the
+    kernel culls with — "tree" builds a threaded BVH over the clusters
+    ((9, M) _cluster_tree layout, walked in lockstep); "linear" keeps each
+    run's union AABB ((6, n_cl)), scanned with one scalar-predicated slab
+    test per cluster; "auto" (default) picks per kind by cluster count
+    (TREE_THRESHOLD).  The kernel dispatches on shape[0], so both are
+    drop-in.
+
+    sph_tab  (7, Ns):  cx cy cz r2 valid mid ord
+    quad_tab (15, Nq): n(3) cn us(3) cu vs(3) cv valid mid ord
+    tri_tab  (28, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
+                       n0(3) n1(3) n2(3) valid mid ord
+    mats     (9, Nm):  mtype alb(3) emit(3) rough ior
+
+    mid indexes the shared material table (the TPU form of the reference's
+    dedup handle remap, cuda_megakernel/renderer.cu:282-344): one level of
+    SMEM indirection replaces 8 per-primitive scalar reads.  ord is the
+    GLOBAL
+    primitive ordinal (kind offset + within-kind index; spheres then quads
+    then triangles) — the shared tie-break convention with ops/intersect.py
+    and accel/lbvh.py realizing the reference's first-wins scan for
+    coplanar equal-t hits (primitive.cpp:42-48).
     """
     from parallelraytracing_tpu.accel.lbvh import morton3d
     from parallelraytracing_tpu.core import geometry as geo
@@ -103,12 +190,13 @@ def pack_scene_tables(scene: SceneData):
     rough = np.asarray(scene.mat_rough, np.float32)
     ior = np.asarray(scene.mat_ior, np.float32)
 
+    mats = np.stack([
+        mt, alb[:, 0], alb[:, 1], alb[:, 2],
+        emit[:, 0], emit[:, 1], emit[:, 2],
+        rough, ior], axis=0).astype(np.float32)
+
     def mat_cols(ids):
-        ids = np.asarray(ids)
-        return np.stack([
-            mt[ids], alb[ids, 0], alb[ids, 1], alb[ids, 2],
-            emit[ids, 0], emit[ids, 1], emit[ids, 2],
-            rough[ids], ior[ids]], axis=0)
+        return np.asarray(ids, np.float32)[None]
 
     def morton_order(mn, mx):
         cen = (mn + mx) * 0.5
@@ -116,15 +204,17 @@ def pack_scene_tables(scene: SceneData):
         ext = np.maximum(cen.max(0) - lo, 1e-12)
         return np.argsort(morton3d((cen - lo) / ext), kind="stable")
 
+    n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
+    n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
+
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
     sv = np.asarray(scene.sph_valid)
     s_mn, s_mx = geo.sphere_aabb(c.astype(np.float64), r.astype(np.float64))
     s_ord = morton_order(s_mn, s_mx)
     c, r, sv = c[s_ord], r[s_ord], sv[s_ord]
-    inv_r = np.where(r > 0, 1.0 / np.maximum(r, 1e-30), 0.0)
     sph = np.concatenate([
-        c.T, (r * r)[None], inv_r[None],
+        c.T, (r * r)[None],
         sv.astype(np.float32)[None],
         mat_cols(np.asarray(scene.sph_mat)[s_ord]),
         s_ord.astype(np.float32)[None]], axis=0)
@@ -132,6 +222,9 @@ def pack_scene_tables(scene: SceneData):
     s_mn2 = np.where(sv[:, None], s_mn[s_ord], np.float64(1.0))
     s_mx2 = np.where(sv[:, None], s_mx[s_ord], np.float64(-1.0))
     sph_cl = _cluster_bounds(s_mn2, s_mx2)
+    if accel == "tree" or (accel == "auto"
+                           and sph_cl.shape[1] > TREE_THRESHOLD):
+        sph_cl = _cluster_tree(sph_cl, len(sv))
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
@@ -151,10 +244,13 @@ def pack_scene_tables(scene: SceneData):
         qn.T, cn[None], us.T, cu[None], vs.T, cv[None],
         qvd.astype(np.float32)[None],
         mat_cols(np.asarray(scene.quad_mat)[q_ord]),
-        q_ord.astype(np.float32)[None]], axis=0)
+        (q_ord + n_sph_full).astype(np.float32)[None]], axis=0)
     q_mn2 = np.where(qvd[:, None], q_mn[q_ord], np.float64(1.0))
     q_mx2 = np.where(qvd[:, None], q_mx[q_ord], np.float64(-1.0))
     quad_cl = _cluster_bounds(q_mn2, q_mx2)
+    if accel == "tree" or (accel == "auto"
+                           and quad_cl.shape[1] > TREE_THRESHOLD):
+        quad_cl = _cluster_tree(quad_cl, len(qvd))
 
     v0 = np.asarray(scene.tri_v0, np.float32)
     v1 = np.asarray(scene.tri_v1, np.float32)
@@ -178,13 +274,17 @@ def pack_scene_tables(scene: SceneData):
         np.asarray(scene.tri_n2, np.float32)[t_ord].T,
         tvd.astype(np.float32)[None],
         mat_cols(np.asarray(scene.tri_mat)[t_ord]),
-        t_ord.astype(np.float32)[None]], axis=0)
+        (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None]], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri_cl = _cluster_bounds(t_mn2, t_mx2)
+    if accel == "tree" or (accel == "auto"
+                           and tri_cl.shape[1] > TREE_THRESHOLD):
+        tri_cl = _cluster_tree(tri_cl, len(tvd))
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
-            np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl)
+            np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
+            np.ascontiguousarray(mats))
 
 
 # ---------------------------------------------------------------------------
@@ -229,8 +329,14 @@ def make_reader(ref, vmem_rows: bool):
 
 def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       sph_get, quad_get, tri_get, rr_depth: int = 0,
-                      cluster_refs=None):
+                      cluster_refs=None, mats_ref=None):
     f0 = jnp.zeros(shape, jnp.float32)
+
+    def mat_of(mid):
+        """Material constants via one SMEM indirection (mid is the f32
+        material id column; ids are small integers, exact in f32)."""
+        mi = mid.astype(jnp.int32)
+        return tuple(mats_ref[k, mi] for k in range(9))
 
     def bounce_step(rng_d, state, depth=None):
         """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
@@ -247,54 +353,106 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                                  jnp.where(dz < 0, -eps, eps), dz)
 
         # ---------------- closest hit fold over all primitives
+        # The fold carries RAW winner geometry (sphere center / quad normal
+        # / unnormalized interpolated triangle normal in gx,gy,gz) plus the
+        # winning kind; the shading normal is reconstructed ONCE per bounce
+        # after the fold, so per-primitive bodies skip hit-point and
+        # normal math (~11 vector ops saved per tested primitive).
         best_t = jnp.full(shape, BIG, jnp.float32)
         carry0 = (best_t, f0, f0, f0, f0, f0,
                   f0, f0, f0, f0, f0, f0, f0,
                   jnp.full(shape, 1.0, jnp.float32),
-                  jnp.full(shape, float(1 << 24), jnp.float32))  # best_ord
+                  jnp.full(shape, float(1 << 24), jnp.float32),  # best_ord
+                  jnp.full(shape, -1.0, jnp.float32))            # kind
 
-        def fold(carry, t, ok, fr, nxp, nyp, nzp, mat, ordv):
-            (best_t, nx, ny, nz, front, m_type,
+        def fold(carry, t, ok, fr, gxp, gyp, gzp, mat, ordv, kindv):
+            (best_t, gx, gy, gz, front, m_type,
              m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
-             best_ord) = carry
+             best_ord, kind) = carry
             # strict < with lowest-original-ordinal tie-break: primitives
             # are Morton-sorted, so visit order no longer matches the
             # reference's first-wins list order — the carried ordinal
             # restores it (coplanar Cornell light/walls).
             upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
             sel = lambda a, b: jnp.where(upd, a, b)
-            return (sel(t, best_t), sel(nxp, nx), sel(nyp, ny),
-                    sel(nzp, nz), sel(fr, front), sel(mat[0], m_type),
+            return (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
+                    sel(gzp, gz), sel(fr, front), sel(mat[0], m_type),
                     sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
                     sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
                     sel(mat[7], m_rough), sel(mat[8], m_ior),
-                    sel(ordv, best_ord))
+                    sel(ordv, best_ord), sel(kindv, kind))
+
+        def slab_any_hit(ref, col, best_t):
+            """Scalar-AABB-vs-tile slab test: does ANY live lane hit the
+            box at better-than-best t?  Returns the scalar predicate.
+            Swap-insensitive in min/max (inverted boxes act swapped)."""
+            bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
+            bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
+            tx0 = (bx0 - ox) * inv_dx
+            tx1 = (bx1 - ox) * inv_dx
+            ty0 = (by0 - oy) * inv_dy
+            ty1 = (by1 - oy) * inv_dy
+            tz0 = (bz0 - oz) * inv_dz
+            tz1 = (bz1 - oz) * inv_dz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) & alive_b
+            return jnp.sum(hit.astype(jnp.float32)) > 0.0
+
+        def tree_walk(tref, body, carry):
+            """Whole-tile lockstep walk of the threaded cluster-BVH
+            ((9, M) _cluster_tree layout).  The in-kernel analogue of the
+            reference's hardware BVH traversal (optixTrace bounce loop,
+            device_programs.cu:211-229), vectorized TPU-style: ONE scalar
+            cursor per tile; descend to the preorder child when ANY live
+            lane hits the node box at better-than-best t, else follow the
+            escape link; leaf hits run the primitive fold over the
+            cluster's [lo,hi) run.  Per-bounce cost is O(visited nodes),
+            ~O(k log N) for spatially coherent tiles, instead of the
+            linear scan's O(N/CLUSTER) slab tests."""
+            def wcond(st):
+                return st[0] >= 0
+
+            def wbody(st):
+                node, carry = st
+                any_hit = slab_any_hit(tref, node, carry[0])
+                miss_l = tref[6, node].astype(jnp.int32)
+                lo_f = tref[7, node]
+                is_leaf = lo_f >= 0.0
+
+                def do_leaf(c):
+                    lo = lo_f.astype(jnp.int32)
+                    hi = tref[8, node].astype(jnp.int32)
+                    return jax.lax.fori_loop(lo, hi, body, c)
+
+                carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
+                                     lambda c: c, carry)
+                node = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                                 node + jnp.int32(1), miss_l)
+                return node, carry
+
+            _, carry = jax.lax.while_loop(wcond, wbody,
+                                          (jnp.int32(0), carry))
+            return carry
 
         def clustered(n, cl_ref, body, carry):
-            """fori over CLUSTER-sized runs, skipping runs whose union AABB
-            no live ray can hit at better-than-best t (the in-kernel
-            two-level hierarchy; cluster data is scalar -> no gathers)."""
+            """Per-kind hierarchical cull.  Dispatches on the acceleration
+            table's static shape: (9, M) = threaded cluster-BVH lockstep
+            walk; (6, n_cl) = linear scan over CLUSTER-sized runs with one
+            scalar-predicated slab test each; tiny kinds skip culling."""
             n_cl = max(1, -(-n // CLUSTER))
             if cl_ref is None or n <= CLUSTER:
                 return jax.lax.fori_loop(0, n, body, carry)
 
+            if cl_ref.shape[0] == 9:
+                return tree_walk(cl_ref, body, carry)
+
             def cl_body(ci, carry):
-                bx0 = cl_ref[0, ci]; by0 = cl_ref[1, ci]; bz0 = cl_ref[2, ci]
-                bx1 = cl_ref[3, ci]; by1 = cl_ref[4, ci]; bz1 = cl_ref[5, ci]
-                tx0 = (bx0 - ox) * inv_dx
-                tx1 = (bx1 - ox) * inv_dx
-                ty0 = (by0 - oy) * inv_dy
-                ty1 = (by1 - oy) * inv_dy
-                tz0 = (bz0 - oz) * inv_dz
-                tz1 = (bz1 - oz) * inv_dz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                             jnp.minimum(ty0, ty1)),
-                                 jnp.minimum(tz0, tz1))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                             jnp.maximum(ty0, ty1)),
-                                 jnp.maximum(tz0, tz1))
-                hit = (tn <= tf) & (tf >= t_min) & (tn <= carry[0]) & alive_b
-                pred = jnp.sum(hit.astype(jnp.float32)) > 0.0
+                pred = slab_any_hit(cl_ref, ci, carry[0])
 
                 def do(carry):
                     lo = ci * CLUSTER
@@ -309,10 +467,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         def sph_body(j, carry):
             g = sph_get(j)
             cx = g(0); cy = g(1); cz = g(2)
-            r2 = g(3); inv_r = g(4)
-            valid = g(5)
-            mat = tuple(g(6 + k) for k in range(9))
-            ordv = g(15)
+            r2 = g(3)
+            valid = g(4)
+            mat = mat_of(g(5))
+            ordv = g(6)
             ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
             b2 = dx * ocx + dy * ocy + dz * ocz
             cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
@@ -323,11 +481,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             fr = (t_near >= t_min).astype(jnp.float32)
             t = jnp.where(fr > 0, t_near, t_far)
             ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
-            px = ox + t * dx; py = oy + t * dy; pz = oz + t * dz
-            sgn = fr * 2.0 - 1.0
-            return fold(carry, t, ok, fr,
-                        (px - cx) * inv_r * sgn, (py - cy) * inv_r * sgn,
-                        (pz - cz) * inv_r * sgn, mat, ordv)
+            # Deferred normal: carry the center; normal = normalize(p - c)
+            # reconstructed after the fold.
+            return fold(carry, t, ok, fr, cx, cy, cz, mat, ordv,
+                        float(KIND_SPHERE))
 
         sph_cl = cluster_refs[0] if cluster_refs else None
         carry = clustered(n_sph, sph_cl, sph_body, carry0)
@@ -342,8 +499,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             vsx = g(8); vsy = g(9); vsz = g(10)
             cv = g(11)
             valid = g(12)
-            mat = tuple(g(13 + k) for k in range(9))
-            ordv = g(22)
+            mat = mat_of(g(13))
+            ordv = g(14)
             dn = dx * qnx + dy * qny + dz * qnz
             on = ox * qnx + oy * qny + oz * qnz
             denom_ok = jnp.abs(dn) >= 1e-8
@@ -356,9 +513,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             ok = denom_ok & (t > t_min) & (t <= t_max) \
                 & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
             fr = (on - cn > 0.0).astype(jnp.float32)
-            sgn = fr * 2.0 - 1.0
-            return fold(carry, t, ok, fr, qnx * sgn, qny * sgn, qnz * sgn,
-                        mat, ordv)
+            # Deferred normal: raw unit plane normal; front-face sign is
+            # applied after the fold.
+            return fold(carry, t, ok, fr, qnx, qny, qnz, mat, ordv,
+                        float(KIND_QUAD))
 
         quad_cl = cluster_refs[1] if cluster_refs else None
         carry = clustered(n_quad, quad_cl, quad_body, carry)
@@ -380,8 +538,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             n1x, n1y, n1z = g(19), g(20), g(21)
             n2x, n2y, n2z = g(22), g(23), g(24)
             valid = g(25)
-            mat = tuple(g(26 + k) for k in range(9))
-            ordv = g(35)
+            mat = mat_of(g(26))
+            ordv = g(27)
             div = -(dx * ngx + dy * ngy + dz * ngz)
             div_ok = div != 0.0
             inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
@@ -398,21 +556,40 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             iny = b0 * n0y + b1 * n1y + b2_ * n2y
             inz = b0 * n0z + b1 * n1z + b2_ * n2z
             back = (dx * inx + dy * iny + dz * inz) > 0.0
-            sgn = jnp.where(back, -1.0, 1.0)
-            ilen = jax.lax.rsqrt(jnp.maximum(
-                inx * inx + iny * iny + inz * inz, 1e-30))
             fr = jnp.where(back, 0.0, 1.0)
-            return fold(carry, t, ok, fr,
-                        inx * sgn * ilen, iny * sgn * ilen,
-                        inz * sgn * ilen, mat, ordv)
+            # Deferred normal: raw interpolated normal (unnormalized,
+            # unflipped — backface flip rides the front flag, shape.h:294-302).
+            return fold(carry, t, ok, fr, inx, iny, inz, mat, ordv,
+                        float(KIND_TRIANGLE))
 
         tri_cl = cluster_refs[2] if cluster_refs else None
         carry = clustered(n_tri, tri_cl, tri_body, carry)
 
-        (best_t, nx, ny, nz, front, m_type,
-         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior, _) = carry
+        (best_t, gx, gy, gz, front, m_type,
+         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
+         _, kind) = carry
 
         hit = best_t < BIG
+
+        # Winner hit point + deferred shading-normal reconstruction (once
+        # per bounce instead of per tested primitive): spheres carried
+        # their center (normal = normalize(p - c)); quads carried the unit
+        # plane normal; triangles the raw interpolated normal.  All three
+        # flip by the carried front flag (sphere shape.h:190-196, quad
+        # shape.h:232, triangle shape.h:294-302).
+        px = ox + best_t * dx
+        py = oy + best_t * dy
+        pz = oz + best_t * dz
+        is_sph_k = kind == float(KIND_SPHERE)
+        nrx = jnp.where(is_sph_k, px - gx, gx)
+        nry = jnp.where(is_sph_k, py - gy, gy)
+        nrz = jnp.where(is_sph_k, pz - gz, gz)
+        n_ilen = jax.lax.rsqrt(jnp.maximum(
+            nrx * nrx + nry * nry + nrz * nrz, 1e-30))
+        sgn_n = (front * 2.0 - 1.0) * n_ilen
+        nx = nrx * sgn_n
+        ny = nry * sgn_n
+        nz = nrz * sgn_n
 
         # miss: sky * throughput, kill (cuda_megakernel/renderer.cu:98-101)
         miss = alive_b & ~hit
@@ -438,10 +615,6 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         ux = rxy * jnp.cos(phi)
         uy = rxy * jnp.sin(phi)
         uz = z
-
-        px = ox + best_t * dx
-        py = oy + best_t * dy
-        pz = oz + best_t * dz
 
         # ---------------- BSDFs (branchless, material.h semantics)
         is_lam = m_type == MAT_LAMBERTIAN
@@ -540,23 +713,25 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sky, rr_depth=0, vmem_kinds=(False, False, False)):
     import jax.experimental.pallas as pl
 
-    def kernel(seed_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
-               rr_ref, rg_ref, rb_ref):
-        tile = pl.program_id(0)
+    def kernel(seed_ref, pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
+               mats_ref, rr_ref, rg_ref, rb_ref):
         shape = (rows, LANES)
-        row_id = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        lane_id = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        ray_id = (jnp.uint32(tile) * jnp.uint32(rows * LANES)
-                  + row_id * jnp.uint32(LANES) + lane_id)
-        rng_base = _pcg_hash(ray_id ^ seed_ref[0].astype(jnp.uint32))
+        # Pixel-keyed RNG (not tile-position-keyed): the image is invariant
+        # to ray ORDER, so Morton-permuted raygen, sharded pixel blocks and
+        # the queue-compacting engines all produce bit-identical streams
+        # for the same pixel (the OptiX per-pixel PCG pattern,
+        # device_programs.cu:169).
+        rng_base = _pcg_hash(
+            pix_ref[:].astype(jnp.int32).astype(jnp.uint32)
+            ^ seed_ref[0].astype(jnp.uint32))
 
         step = _make_bounce_step(
             shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             make_reader(sph_ref, vmem_kinds[0]),
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl))
+            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref)
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -588,25 +763,29 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds"))
-def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
+def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
+                 sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
                  sph_cl: jax.Array, quad_cl: jax.Array, tri_cl: jax.Array,
-                 seed: jax.Array,
+                 mats: jax.Array, seed: jax.Array,
                  rows: int, max_depth: int, t_min: float, t_max: float,
                  sky: Tuple[float, float, float],
                  interpret: bool = False, rr_depth: int = 0,
                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                  ) -> jax.Array:
-    """Trace R rays (R divisible by rows*128). Returns (R,3) radiance."""
+    """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
+    keying the per-ray RNG stream. Returns (R,3) radiance."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r = o.shape[0]
     tile = rows * LANES
     assert r % tile == 0, (r, tile)
+    assert r <= (1 << 24), (
+        f"pallas_trace pixel ids exceed f32 integer range: {r} > 2^24")
     n_tiles = r // tile
 
-    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    planes = [pix, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
     planes = [p.reshape(n_tiles * rows, LANES) for p in planes]
 
     def tab_n(tab, vm):
@@ -631,35 +810,39 @@ def pallas_trace(o: jax.Array, d: jax.Array, sph_tab: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 6, *tab_specs, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 7, *tab_specs, smem, smem, smem, smem],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
         interpret=interp,
-    )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
+    )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
+      mats)
 
     rr, rg, rb = out
     return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
 
 
 # ---------------------------------------------------------------------------
-# Kernel 2: single bounce over a compacted queue (hybrid engine stage).
+# Kernel 2: a SEGMENT of n_bounces over a compacted queue (the
+# wavefront_fused engine's stage; n_bounces=1 is the hybrid single-bounce).
 # ---------------------------------------------------------------------------
 
-def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
-                        rr_depth=0, vmem_kinds=(False, False, False)):
+def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
+                         n_tri, sky, rr_depth=0,
+                         vmem_kinds=(False, False, False)):
     import jax.experimental.pallas as pl
 
-    def kernel(scalar_ref,  # SMEM (3,): [seed, depth, count]
+    def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
                pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tr_ref, tg_ref, tb_ref,
+               tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
+               mats_ref,
                oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
                rro, rgo, rbo, alive_o):
         tile = pl.program_id(0)
         shape = (rows, LANES)
         seed = scalar_ref[0]
-        depth = scalar_ref[1]
+        depth0 = scalar_ref[1]
         count = scalar_ref[2]
 
         in_queue_start = tile * jnp.int32(rows * LANES)
@@ -668,30 +851,35 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
         slot = in_queue_start + row_id * jnp.int32(LANES) + lane_id
         in_q = (slot < count).astype(jnp.float32)
 
-        # Pixel-keyed RNG: compaction order cannot change the image.
+        # Pixel-keyed RNG: compaction/sort order cannot change the image.
         rng_base = _pcg_hash(
             pix_ref[:].astype(jnp.int32).astype(jnp.uint32)  # f32 pix ids
             ^ seed.astype(jnp.uint32))
-        rng_d = rng_base + depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
 
         step = _make_bounce_step(
             shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             make_reader(sph_ref, vmem_kinds[0]),
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl))
+            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref)
 
-        f0 = jnp.zeros(shape, jnp.float32)
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
                  tr_ref[:], tg_ref[:], tb_ref[:],
-                 f0, f0, f0, in_q)
+                 rr_ref[:], rg_ref[:], rb_ref[:], in_q)
 
-        def live(st):
-            return step(rng_d, st, depth)
+        def bounce(i, st):
+            any_alive = jnp.sum(st[12]) > 0.0
 
-        any_work = jnp.sum(in_q) > 0.0
-        state = jax.lax.cond(any_work, live, lambda st: st, state)
+            def live(st):
+                depth = depth0 + i
+                rng_d = rng_base \
+                    + depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+                return step(rng_d, st, depth)
+
+            return jax.lax.cond(any_alive, live, lambda st: st, st)
+
+        state = jax.lax.fori_loop(0, n_bounces, bounce, state)
 
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
         oxo[:] = ox; oyo[:] = oy; ozo[:] = oz
@@ -703,23 +891,31 @@ def _make_bounce_kernel(rows, t_min, t_max, n_sph, n_quad, n_tri, sky,
     return kernel
 
 
-def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
-                  sph_cl, quad_cl, tri_cl, scalars,
-                  rows: int, t_min: float, t_max: float,
-                  sky: Tuple[float, float, float],
-                  interpret: bool = False, rr_depth: int = 0,
-                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
-    """One bounce over the (queue-ordered) ray planes.
+def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
+                   sph_cl, quad_cl, tri_cl, mats, scalars,
+                   rows: int, n_bounces: int, t_min: float, t_max: float,
+                   sky: Tuple[float, float, float],
+                   interpret: bool = False, rr_depth: int = 0,
+                   vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
+    """n_bounces of the path loop over the (queue-ordered) ray planes.
 
-    pix: (R,) f32 pixel ids; o9: tuple of 9 (R,) f32 planes
-    (ox,oy,oz,dx,dy,dz,tr,tg,tb); scalars: (3,) i32 [seed, depth, count].
-    Returns (new 9 planes, radiance add 3 planes, alive (R,) f32)."""
+    pix: (R,) f32 pixel ids; o9: tuple of 12 (R,) f32 planes
+    (ox,oy,oz,dx,dy,dz,tr,tg,tb,rr,rg,rb) — radiance rides the state and
+    is accumulated IN kernel (one end-of-frame scatter instead of one per
+    segment); scalars: (3,) i32 [seed, depth0, count].
+    Returns (new 12 planes, alive (R,) f32).
+    RNG is keyed on (pixel id, absolute depth), so any permutation of the
+    queue between segments leaves the image bit-identical."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r = pix.shape[0]
     tile = rows * LANES
     assert r % tile == 0
+    # Pixel ids ride f32 planes; beyond 2^24 they lose integer exactness
+    # and the pixel-keyed RNG streams would collide/correlate.
+    assert r <= (1 << 24), (
+        f"pallas_segment pixel ids exceed f32 integer range: {r} > 2^24")
     n_tiles = r // tile
 
     planes = [pix, *o9]
@@ -728,11 +924,11 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
     def tab_n(tab, vm):
         return int(tab.shape[0]) if vm else int(tab.shape[1])
 
-    kernel = _make_bounce_kernel(rows, t_min, t_max,
-                                 tab_n(sph_tab, vmem_kinds[0]),
-                                 tab_n(quad_tab, vmem_kinds[1]),
-                                 tab_n(tri_tab, vmem_kinds[2]),
-                                 sky, rr_depth, vmem_kinds)
+    kernel = _make_segment_kernel(rows, n_bounces, t_min, t_max,
+                                  tab_n(sph_tab, vmem_kinds[0]),
+                                  tab_n(quad_tab, vmem_kinds[1]),
+                                  tab_n(tri_tab, vmem_kinds[2]),
+                                  sky, rr_depth, vmem_kinds)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -744,15 +940,33 @@ def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 10, *tab_specs, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 13, *tab_specs, smem, smem, smem, smem],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         interpret=interp,
-    )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl)
+    )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
+      mats)
 
     flat = [p.reshape(r) for p in out]
-    return flat[:9], flat[9:12], flat[12]
+    return flat[:12], flat[12]
+
+
+def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
+                  sph_cl, quad_cl, tri_cl, mats, scalars,
+                  rows: int, t_min: float, t_max: float,
+                  sky: Tuple[float, float, float],
+                  interpret: bool = False, rr_depth: int = 0,
+                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
+    """Single-bounce shim over pallas_segment (the hybrid engine stage):
+    radiance inputs are zero, so the returned radiance IS this bounce's
+    contribution."""
+    z = jnp.zeros_like(pix)
+    out12, alive = pallas_segment(pix, (*o9, z, z, z), sph_tab, quad_tab,
+                                  tri_tab, sph_cl, quad_cl, tri_cl, mats,
+                                  scalars, rows, 1, t_min, t_max, sky,
+                                  interpret, rr_depth, vmem_kinds)
+    return out12[:9], out12[9:12], alive
 
 
 def to_vmem_rows(tab: np.ndarray) -> np.ndarray:

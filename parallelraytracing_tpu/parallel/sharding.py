@@ -123,13 +123,14 @@ def render_frame_sharded_fused(
     """Multi-chip frame through the fused Pallas kernel: each ("px","spp")
     device runs the VMEM-resident megakernel on its pixel block, sample
     streams psum over ICI.  scene_tables = pack_scene_tables output + sky
-    tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, sky, vmem_kinds).
+    tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, sky, vmem_kinds).
 
     The per-device block must be a multiple of rows*128 rays."""
     from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_trace
     from parallelraytracing_tpu.ops.rays import generate_camera_rays_flat
 
-    sph, quad, tri, sph_cl, quad_cl, tri_cl, sky, vmem_kinds = scene_tables
+    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, sky, vmem_kinds = \
+        scene_tables
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
     r = cfg.pixel_count
@@ -137,23 +138,29 @@ def render_frame_sharded_fused(
     blk = -(-r // n_px)
     blk += (-blk) % tile  # per-device block must tile evenly
 
-    def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, cam, k):
+    def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, cam, k):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")
         dev_key = jax.random.fold_in(jax.random.fold_in(k, px_i), spp_i)
         k_jit, k_path = jax.random.split(dev_key)
         o, d = generate_camera_rays_flat(
             cam, cfg.width, cfg.height, px_i * blk, blk, k_jit, cfg.jitter)
+        # Global pixel ids key the RNG, so the image is invariant to the
+        # px-shard layout.
+        pix = (px_i * blk + jnp.arange(blk, dtype=jnp.int32)) \
+            .astype(jnp.float32)
         seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
-        rad = pallas_trace(o, d, sph, quad, tri, sph_cl, quad_cl, tri_cl,
-                           seed, rows, cfg.max_depth, cfg.t_min, cfg.t_max,
+        rad = pallas_trace(o, d, pix, sph, quad, tri, sph_cl, quad_cl,
+                           tri_cl, mats, seed, rows, cfg.max_depth,
+                           cfg.t_min, cfg.t_max,
                            sky, interpret=interpret, vmem_kinds=vmem_kinds)
         return jax.lax.psum(rad, axis_name="spp")
 
     shard = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(),) * 8,
+        in_specs=(P(),) * 9,
         out_specs=P("px", None),
         check_vma=False)
-    out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, cam_params, key)
+    out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, cam_params,
+                key)
     return out[:r] / n_spp

@@ -35,23 +35,27 @@ def small_cfg(**kw):
 
 def test_scene_tables_shapes():
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
-    sph, quad, tri, sph_cl, quad_cl, tri_cl = pack_scene_tables(scene)
-    assert sph.shape[0] == 16 and sph.shape[1] == scene.sph_radius.shape[0]
-    assert quad.shape[0] == 23
-    assert tri.shape[0] == 36
+    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
+        scene, accel="linear")
+    assert sph.shape[0] == 7 and sph.shape[1] == scene.sph_radius.shape[0]
+    assert quad.shape[0] == 15
+    assert tri.shape[0] == 28
+    assert mats.shape[0] == 9
     # valid rows mark the padding correctly
-    assert sph[5].sum() == 108  # 100 balls + 8 emissive
+    assert sph[4].sum() == 108  # 100 balls + 8 emissive
     assert quad[12].sum() == 1
     # ordinal row is a permutation (morton sort)
     import numpy as np
-    assert sorted(sph[15].astype(int)) == list(range(sph.shape[1]))
+    assert sorted(sph[6].astype(int)) == list(range(sph.shape[1]))
+    # material ids address the material table
+    assert (sph[5] >= 0).all() and (sph[5] < mats.shape[1]).all()
     # cluster AABBs contain their primitives
     from parallelraytracing_tpu.ops.pallas_trace import CLUSTER
     assert sph_cl.shape[0] == 6
     assert sph_cl.shape[1] == -(-sph.shape[1] // CLUSTER)
     for c in range(sph_cl.shape[1]):
         lo, hi = c * CLUSTER, min((c + 1) * CLUSTER, sph.shape[1])
-        valid = sph[5, lo:hi] > 0
+        valid = sph[4, lo:hi] > 0
         if valid.any():
             centers = sph[:3, lo:hi][:, valid]
             radii = np.sqrt(sph[3, lo:hi][valid])
