@@ -261,6 +261,64 @@ def scene_primitive_aabbs(scene: SceneData):
             np.concatenate(kinds), np.concatenate(idxs))
 
 
+def build_threaded(mn: np.ndarray, mx: np.ndarray):
+    """Generic threaded LBVH over N AABBs (host numpy).
+
+    Returns (node_min (M,3), node_max (M,3), is_leaf (M,), payload (M,),
+    miss (M,)) with M = 2N-1 (M=1 for N=1); for leaves, payload is the
+    ORIGINAL primitive index (sorted-leaf order already resolved).  Uses
+    the native builder when available.  This is the mesh-agnostic core
+    shared by the scene BVH and the TLAS/BLAS builders."""
+    n = len(mn)
+    assert n >= 1
+    if n == 1:
+        return (mn.copy(), mx.copy(), np.array([True]),
+                np.array([0], np.int64), np.array([-1], np.int64))
+    try:
+        from parallelraytracing_tpu import native
+        if native.available():
+            node_min, node_max, is_leaf, payload, miss, order = \
+                native.build_lbvh(mn.astype(np.float64),
+                                  mx.astype(np.float64))
+            payload = payload.astype(np.int64)
+            payload[is_leaf] = order[payload[is_leaf]]
+            return (node_min, node_max, is_leaf, payload,
+                    miss.astype(np.int64))
+    except Exception:
+        pass
+
+    centroid = (mn + mx) * 0.5
+    lo = centroid.min(axis=0)
+    extent = np.maximum(centroid.max(axis=0) - lo, 1e-12)
+    codes = morton3d((centroid - lo) / extent)
+    order = np.argsort(codes, kind="stable")
+    keys = (codes[order].astype(np.uint64) << np.uint64(31)) \
+        | np.arange(n, dtype=np.uint64)
+    left, right = _karras_tree(keys)
+    is_leaf, payload, miss = thread_tree(left, right, n)
+    m = 2 * n - 1
+    node_min = np.zeros((m, 3))
+    node_max = np.zeros((m, 3))
+    leaf_slots = np.nonzero(is_leaf)[0]
+    src = order[payload[leaf_slots]]
+    payload = payload.copy()
+    payload[leaf_slots] = src
+    node_min[leaf_slots] = mn[src]
+    node_max[leaf_slots] = mx[src]
+    stack = []
+    for s in range(m - 1, -1, -1):
+        if is_leaf[s]:
+            stack.append((node_min[s].copy(), node_max[s].copy()))
+        else:
+            mn1, mx1 = stack.pop()
+            mn2, mx2 = stack.pop()
+            node_min[s] = np.minimum(mn1, mn2)
+            node_max[s] = np.maximum(mx1, mx2)
+            stack.append((node_min[s], node_max[s]))
+    assert len(stack) == 1
+    return node_min, node_max, is_leaf, payload, miss
+
+
 def _global_ordinals(scene: SceneData, kind: np.ndarray,
                      idx: np.ndarray) -> np.ndarray:
     """Global primitive ordinal = kind offset + within-kind index (spheres,

@@ -28,6 +28,10 @@ try:
         wavefront_fused as _wavefront_fused  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import tlas as _tlas  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]

@@ -1,0 +1,91 @@
+"""TLAS engine: two-level (instance) BVH traversal + megakernel loop.
+
+The analogue of the reference's OptiX IAS-over-GAS pipeline
+(optix/renderer.cpp:833-870): unique meshes keep ONE local-space BLAS,
+instances are transform records, and rays traverse TLAS -> BLAS with an
+inverse-transform at instance entry (accel/tlas.py).  Non-instanced
+primitives intersect through the ordinary single-level LBVH; the two hit
+records compose by closest t.  Geometry memory is proportional to unique
+meshes — the reason this engine exists (Scene.add_mesh_instances no
+longer duplicates triangles)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from parallelraytracing_tpu.accel.lbvh import BVHData, build_bvh
+from parallelraytracing_tpu.accel.tlas import (TwoLevelBVH, resolve_instanced_hit,
+                                               tlas_intersect)
+from parallelraytracing_tpu.accel.traverse import bvh_intersect_scene
+from parallelraytracing_tpu.config import RenderConfig
+from parallelraytracing_tpu.core.scene import KIND_TRIANGLE, SceneData
+from parallelraytracing_tpu.engines.base import Renderer, register_engine
+from parallelraytracing_tpu.engines.megakernel import raygen
+from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
+from parallelraytracing_tpu.ops.intersect import HitRecord
+
+_BIG = 3.0e38
+
+
+def combined_intersect(scene: SceneData, bvh: BVHData, tl: TwoLevelBVH,
+                       o: jax.Array, d: jax.Array, t_min: float,
+                       t_max: float) -> HitRecord:
+    """Closest hit across the base scene's LBVH and the instance TLAS."""
+    base = bvh_intersect_scene(scene, bvh, o, d, t_min, t_max)
+    t2, inst, tri, b1, b2 = tlas_intersect(tl, o, d, t_min, t_max)
+    pos2, n2, front2, mat2 = resolve_instanced_hit(tl, o, d, t2, inst, tri,
+                                                   b1, b2)
+    better = t2 < jnp.where(base.hit, base.t, _BIG)
+    bb = better[:, None]
+    return HitRecord(
+        t=jnp.where(better, t2, base.t),
+        hit=base.hit | better,
+        pos=jnp.where(bb, pos2, base.pos),
+        normal=jnp.where(bb, n2, base.normal),
+        front=jnp.where(better, front2, base.front),
+        mat=jnp.where(better, mat2, base.mat),
+        kind=jnp.where(better, jnp.int32(KIND_TRIANGLE), base.kind),
+        idx=jnp.where(better, tri, base.idx),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def tlas_trace(scene: SceneData, bvh: BVHData, tl: TwoLevelBVH,
+               o: jax.Array, d: jax.Array, key: jax.Array,
+               cfg: RenderConfig) -> jax.Array:
+    def intersect(s, oo, dd):
+        return combined_intersect(s, bvh, tl, oo, dd, cfg.t_min, cfg.t_max)
+
+    return trace_paths_tiled(scene, o, d, key, cfg, intersect)
+
+
+@register_engine
+class TLASRenderer(Renderer):
+    name = "tlas"
+
+    def _post_init(self) -> None:
+        base, tl = self._scene.build_two_level()
+        assert tl is not None, (
+            "tlas engine needs Scene.add_mesh_instances instances; use "
+            "'bvh' for scenes without instancing")
+        self._scene_data = jax.device_put(base)  # base EXCLUDES instances
+        self._bvh = jax.device_put(build_bvh(base))
+        self._tlas = jax.device_put(tl)
+
+    def render_sample_buffer(self, frame_index: int) -> jax.Array:
+        cfg = self.config
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), jnp.uint32(frame_index))
+        acc = None
+        for s in range(cfg.samples_per_frame):
+            skey = jax.random.fold_in(base, jnp.uint32(s))
+            k_jit, k_path = jax.random.split(skey)
+            o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
+                          cfg.jitter)
+            rad = tlas_trace(self._scene_data, self._bvh, self._tlas,
+                             o, d, k_path, cfg)
+            acc = rad if acc is None else acc + rad
+        return acc / cfg.samples_per_frame
