@@ -74,44 +74,95 @@ def main() -> None:
     cfg = RenderConfig(width=width, height=height, max_depth=depth, seed=0)
     scene = Scene(preset)
 
-    # Camera overlooking the ball field (the viewer's default eye is too
-    # close to the ground for a representative view of 809 prims).
-    pos = np.array([30.0, 18.0, 30.0])
-    cam = Camera(pos, -pos, float(width), float(height), 100.0)
-
     from parallelraytracing_tpu.utils.sync import device_sync
 
-    film = r = engine = None
-    last_err = None
-    for name in engine_prefs:
-        try:
-            film = Film(width, height)
-            r = create_renderer(name)
-            r.init(film, scene, cam, cfg)
-            # Warm up / compile (device_sync: block_until_ready does not
-            # actually wait on this TPU plugin backend).
+    # Two views, both reported: the reference's DEFAULT camera
+    # (eye (5,5,8) -> origin, main.cpp:142-150) is the headline — the
+    # exact workload the reference boots into; the elevated overview
+    # shows the whole 809-primitive field (longer mean path).
+    cameras = {
+        "reference_default": Camera(np.array([5.0, 5.0, 8.0]),
+                                    np.array([-5.0, -5.0, -8.0]),
+                                    float(width), float(height), 100.0),
+        "overview": Camera(np.array([30.0, 18.0, 30.0]),
+                           np.array([-30.0, -18.0, -30.0]),
+                           float(width), float(height), 100.0),
+    }
+
+    def exact_pallas_ray_count(r, n_frames=3) -> float:
+        """Average EXACT rays/frame: steps the same pixel-keyed PCG
+        streams the fused/wavefront_fused engines trace (same per-frame
+        seed chain), via single-bounce Pallas segments."""
+        import jax.numpy as jnp
+
+        from parallelraytracing_tpu.engines.megakernel import raygen
+        from parallelraytracing_tpu.engines.wavefront_fused import \
+            count_frame_rays
+        sky = tuple(float(x) for x in np.asarray(r._scene_data.sky))
+        total = 0
+        for f in range(n_frames):
+            base = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed), jnp.uint32(f))
+            skey = jax.random.fold_in(base, jnp.uint32(0))
+            k_jit, k_path = jax.random.split(skey)
+            o, d = raygen(r._cam_params, k_jit, cfg.width, cfg.height,
+                          cfg.jitter)
+            pix = jnp.arange(cfg.pixel_count, dtype=jnp.float32)
+            seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1,
+                                      jnp.int32)
+            total += int(count_frame_rays(
+                o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab,
+                r._sph_cl, r._quad_cl, r._tri_cl, r._mats, seed,
+                r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
+                r._interpret, cfg.russian_roulette_depth, r._vmem_kinds))
+        return total / n_frames
+
+    results = {}
+    engine = None
+    for cam_name, cam in cameras.items():
+        film = r = None
+        last_err = None
+        for name in engine_prefs:
+            try:
+                film = Film(width, height)
+                r = create_renderer(name)
+                r.init(film, scene, cam, cfg)
+                # Warm up / compile (device_sync: block_until_ready does
+                # not actually wait on this TPU plugin backend).
+                r.progressive_render()
+                device_sync(film.accum)
+                engine = name
+                break
+            except Exception as e:  # compile-service flakiness: fall back
+                last_err = e
+                print(f"# engine {name} failed: {type(e).__name__}",
+                      file=sys.stderr)
+        if engine is None:
+            raise last_err
+
+        # Rays/frame numerator: exact (same PCG streams as the engine)
+        # for the Pallas engines, jnp-threefry estimate otherwise.
+        if hasattr(r, "_sph_tab"):
+            rays_per_frame = exact_pallas_ray_count(r)
+            count_method = "exact_pallas_pcg"
+        else:
+            rays_per_frame = count_bounce_rays(
+                r._scene_data, r._cam_params, jax.random.PRNGKey(123), cfg)
+            count_method = "jnp_threefry_estimate"
+
+        t0 = time.time()
+        for _ in range(frames):
             r.progressive_render()
-            device_sync(film.accum)
-            engine = name
-            break
-        except Exception as e:  # compile service flakiness: fall back
-            last_err = e
-            print(f"# engine {name} failed: {type(e).__name__}",
-                  file=sys.stderr)
-    if engine is None:
-        raise last_err
+        device_sync(film.accum)
+        dt = (time.time() - t0) / frames
+        results[cam_name] = {
+            "mrays": round(rays_per_frame / dt / 1e6, 3),
+            "rays_per_frame": int(rays_per_frame),
+            "ms_per_frame": round(dt * 1000.0, 2),
+            "ray_count_method": count_method,
+        }
 
-    # Count actual rays traced per frame (camera + alive bounce rays).
-    rays_per_frame = count_bounce_rays(
-        r._scene_data, r._cam_params, jax.random.PRNGKey(123), cfg)
-
-    t0 = time.time()
-    for _ in range(frames):
-        r.progressive_render()
-    device_sync(film.accum)
-    dt = (time.time() - t0) / frames
-
-    mrays = rays_per_frame / dt / 1e6
+    mrays = results["reference_default"]["mrays"]
     print(json.dumps({
         "metric": "Mrays_per_sec_per_chip",
         "value": round(mrays, 3),
@@ -122,8 +173,8 @@ def main() -> None:
             "preset": preset.value,
             "resolution": f"{width}x{height}",
             "max_depth": depth,
-            "rays_per_frame": int(rays_per_frame),
-            "ms_per_frame": round(dt * 1000.0, 2),
+            "camera": "reference_default (eye (5,5,8), main.cpp:142-150)",
+            "views": results,
             "device": str(jax.devices()[0]),
         },
     }))

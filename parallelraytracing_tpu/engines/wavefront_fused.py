@@ -137,6 +137,60 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
     return rad[:r]
 
 
+@partial(jax.jit,
+         static_argnames=("rows", "max_depth", "t_min", "t_max",
+                          "sky", "interpret", "rr_depth", "vmem_kinds"))
+def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
+                     sph_cl, quad_cl, tri_cl, mats, seed,
+                     rows: int, max_depth: int,
+                     t_min: float, t_max: float, sky,
+                     interpret: bool = False, rr_depth: int = 0,
+                     vmem_kinds=(False, False, False)) -> jax.Array:
+    """EXACT ray count of one frame: camera rays + rays alive entering
+    every later bounce, measured by stepping the SAME pixel-keyed PCG
+    streams the Pallas engines trace (single-bounce segments, no
+    reordering).  This is the honest numerator for Mrays/s — the jnp
+    counter draws a different (threefry) stream and under/over-counts by
+    the stream difference."""
+    r = o.shape[0]
+    tile = rows * LANES
+    pad = (-r) % tile
+    rp = r + pad
+
+    def padp(x, c=0.0):
+        return jnp.pad(x, (0, pad), constant_values=c) if pad else x
+
+    pix = padp(pix0, float(rp))
+    state = [padp(o[:, 0]), padp(o[:, 1]), padp(o[:, 2]),
+             padp(d[:, 0]), padp(d[:, 1]), padp(d[:, 2], 1.0),
+             jnp.ones(rp), jnp.ones(rp), jnp.ones(rp),
+             jnp.zeros(rp), jnp.zeros(rp), jnp.zeros(rp)]
+    count = jnp.int32(r)
+    total = jnp.int32(0)
+    for depth in range(max_depth):
+        total = total + count
+        scalars = jnp.stack([seed[0], jnp.int32(depth),
+                             count]).astype(jnp.int32)
+        state, alive = pallas_segment(
+            pix, tuple(state), sph_tab, quad_tab, tri_tab,
+            sph_cl, quad_cl, tri_cl, mats, scalars,
+            rows, 1, t_min, t_max, sky, interpret, rr_depth, vmem_kinds)
+        state = list(state)
+        # Compact survivors to the front (in_q masks the first `count`
+        # slots); order-stable, and RNG is pixel-keyed so the permutation
+        # cannot change the streams.
+        alive_b = alive > 0.0
+        key = jnp.where(alive_b, jnp.arange(rp, dtype=jnp.int32),
+                        jnp.int32(2**30))
+        order = jnp.argsort(key)
+        count = jnp.sum(alive_b.astype(jnp.int32))
+        mat = jnp.stack([pix, *state], axis=1)
+        mat = jnp.take(mat, order, axis=0)
+        pix = mat[:, 0]
+        state = [mat[:, i + 1] for i in range(12)]
+    return total
+
+
 @register_engine
 class WavefrontFusedRenderer(Renderer):
     name = "wavefront_fused"

@@ -4,12 +4,17 @@ The analogue of the reference's application layer (src/main.cpp): a frame
 loop that polls input, integrates the orbit camera, clears the film on
 camera movement (main.cpp:506-511), renders one progressive sample, and
 displays it — with engine radio-select (main.cpp:476-485) and live
-per-stage timing (main.cpp:265-462).
+per-stage timing HISTORY graphs (the hand-drawn ImGui plots of
+render/film/upload/total/FPS over a 100-frame ring buffer,
+main.cpp:177-184,265-462).
 
 Headless TPU hosts have no OpenGL, so the window is a browser page served
 by a stdlib HTTP server: the client drags/wheels the camera (the
 GLFW-input analogue, main.cpp:204-263), the server streams the film's
-tonemapped PNG.  Zero third-party dependencies.
+tonemapped PNG.  PNG encoding uses the native encoder
+(native/src/imageio.cpp) when built and runs on its OWN thread, so the
+render loop never waits on compression (the reference's analogous split:
+CUDA renders while GL uploads).  Zero third-party dependencies.
 
 Run:  python -m parallelraytracing_tpu.viewer.app --scene cornell --port 7860
 """
@@ -17,7 +22,7 @@ Run:  python -m parallelraytracing_tpu.viewer.app --scene cornell --port 7860
 from __future__ import annotations
 
 import argparse
-import io
+import collections
 import json
 import threading
 import time
@@ -29,9 +34,11 @@ _PAGE = """<!DOCTYPE html>
  body { background:#14171c; color:#cfd8e3; font-family:monospace; margin:0; }
  #wrap { display:flex; }
  #img { image-rendering:pixelated; cursor:grab; }
- #panel { padding:12px; min-width:260px; }
+ #panel { padding:12px; min-width:300px; }
  .stat { margin:2px 0; }
  label { display:block; margin:2px 0; }
+ canvas { background:#0b0d10; display:block; margin:4px 0; }
+ .leg { font-size:11px; }
 </style></head>
 <body><div id="wrap">
 <img id="img" width="__W__" height="__H__"/>
@@ -44,11 +51,18 @@ _PAGE = """<!DOCTYPE html>
  <div class="stat">render ms: <span id="ms">0</span></div>
  <div class="stat">fps: <span id="fps">0</span></div>
  <hr/>
+ <div class="leg"><span style="color:#6fb3ff">render</span> &middot;
+  <span style="color:#ffd166">tonemap</span> &middot;
+  <span style="color:#ef6f6c">encode</span> (ms, 100-frame history)</div>
+ <canvas id="stages" width="280" height="90"></canvas>
+ <div class="leg"><span style="color:#9be07f">fps</span></div>
+ <canvas id="fpsg" width="280" height="60"></canvas>
+ <hr/>
  <div>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom</div>
 </div></div>
 <script>
 const img = document.getElementById('img');
-let dragging = false, lastX = 0, lastY = 0, shift = false;
+let dragging = false, lastX = 0, lastY = 0;
 img.onmousedown = e => { dragging = true; lastX = e.clientX; lastY = e.clientY; };
 window.onmouseup = () => dragging = false;
 window.onmousemove = e => {
@@ -63,6 +77,27 @@ img.onwheel = e => {
   fetch('/control', {method:'POST',
     body: JSON.stringify({kind:'zoom', dy: e.deltaY})});
 };
+function plot(canvas, series, colors) {
+  const ctx = canvas.getContext('2d');
+  const W = canvas.width, H = canvas.height;
+  ctx.clearRect(0, 0, W, H);
+  let max = 1e-6;
+  for (const s of series) for (const v of s) max = Math.max(max, v);
+  ctx.strokeStyle = '#2a2f38'; ctx.beginPath();          // grid
+  for (let g = 1; g < 4; g++) { ctx.moveTo(0, H*g/4); ctx.lineTo(W, H*g/4); }
+  ctx.stroke();
+  ctx.fillStyle = '#5a6472'; ctx.font = '10px monospace';
+  ctx.fillText(max.toFixed(1), 2, 10);
+  series.forEach((s, i) => {
+    ctx.strokeStyle = colors[i]; ctx.beginPath();
+    s.forEach((v, x) => {
+      const px = x * W / Math.max(s.length - 1, 1);
+      const py = H - (v / max) * (H - 4) - 2;
+      x ? ctx.lineTo(px, py) : ctx.moveTo(px, py);
+    });
+    ctx.stroke();
+  });
+}
 async function poll() {
   try {
     const s = await (await fetch('/stats')).json();
@@ -70,6 +105,10 @@ async function poll() {
     document.getElementById('samples').textContent = s.samples;
     document.getElementById('ms').textContent = s.render_ms.toFixed(1);
     document.getElementById('fps').textContent = s.fps.toFixed(1);
+    plot(document.getElementById('stages'),
+         [s.history.render, s.history.tonemap, s.history.encode],
+         ['#6fb3ff', '#ffd166', '#ef6f6c']);
+    plot(document.getElementById('fpsg'), [s.history.fps], ['#9be07f']);
     const eng = document.getElementById('engines');
     if (!eng.childElementCount) {
       for (const name of s.engines) {
@@ -89,9 +128,39 @@ poll();
 </script></body></html>
 """
 
+#: ring-buffer length, matching the reference's 100-entry histories
+#: (main.cpp:177-184).
+HISTORY = 100
+
+
+def encode_png_bytes(img) -> bytes:
+    """Tonemapped u8 (H,W,3|4) -> PNG bytes: native encoder when built
+    (native/src/imageio.cpp), pure-Python zlib fallback otherwise."""
+    from parallelraytracing_tpu import native
+    if native.available():
+        return native.encode_png(img, level=1)
+    return _png_bytes_py(img)
+
+
+def _png_bytes_py(img) -> bytes:
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    header = struct.pack(">IIBBBBB", w, h, 8, 6 if c == 4 else 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", zlib.compress(raw, 1)) + chunk(b"IEND", b""))
+
 
 class ViewerState:
-    """Shared state between the render loop and the HTTP handlers."""
+    """Shared state between the render loop, the encoder thread, and the
+    HTTP handlers."""
 
     def __init__(self, scene, camera, cfg, engine_name: str):
         import jax
@@ -116,6 +185,18 @@ class ViewerState:
         self.png_cache = b""
         self.stop = False
 
+        # Per-stage 100-frame ring buffers (main.cpp:177-184 analogue).
+        self.history = {k: collections.deque(maxlen=HISTORY)
+                        for k in ("render", "tonemap", "encode", "total",
+                                  "fps")}
+        self.encode_ms = 0.0
+
+        # Encoder thread: single-slot mailbox of the latest display
+        # buffer; the render loop never blocks on compression.
+        self._encode_ready = threading.Event()
+        self._encode_buf = None
+        threading.Thread(target=self._encode_loop, daemon=True).start()
+
     # ------------------------------------------------- input (HTTP thread)
     def control(self, msg: dict) -> None:
         with self.lock:
@@ -132,11 +213,26 @@ class ViewerState:
             elif kind == "engine" and msg.get("name") in self.engines:
                 self.switch_to = msg["name"]
 
+    # -------------------------------------------- encoder (its own thread)
+    def _encode_loop(self) -> None:
+        while not self.stop:
+            if not self._encode_ready.wait(timeout=0.25):
+                continue
+            self._encode_ready.clear()
+            buf = self._encode_buf
+            if buf is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                self.png_cache = encode_png_bytes(buf)
+            except Exception:
+                self.png_cache = _png_bytes_py(buf)
+            self.encode_ms = (time.perf_counter() - t0) * 1e3
+
     # ---------------------------------------------------- frame loop (main)
     def run(self) -> None:
         from parallelraytracing_tpu import create_renderer
-        from parallelraytracing_tpu.utils.png import write_png
-        import numpy as np
+        from parallelraytracing_tpu.utils.sync import device_sync
 
         last = time.time()
         while not self.stop:
@@ -163,31 +259,25 @@ class ViewerState:
 
             t0 = time.perf_counter()
             self.renderer.progressive_render()
-            from parallelraytracing_tpu.utils.sync import device_sync
             device_sync(self.film.accum)
-            self.render_ms = (time.perf_counter() - t0) * 1e3
-            self.fps = 1.0 / max(time.perf_counter() - t0, 1e-9)
+            t1 = time.perf_counter()
+            display = self.film.display_numpy()      # tonemap + fetch
+            t2 = time.perf_counter()
+
+            # hand off to the encoder thread (never blocks the loop)
+            self._encode_buf = display
+            self._encode_ready.set()
+
+            self.render_ms = (t1 - t0) * 1e3
+            tonemap_ms = (t2 - t1) * 1e3
+            total_ms = (t2 - t0) * 1e3
+            self.fps = 1.0 / max(t2 - t0, 1e-9)
             self.frame += 1
-
-            self.png_cache = _png_bytes(self.film.display_numpy())
-
-
-def _png_bytes(img) -> bytes:
-    import struct
-    import zlib
-
-    import numpy as np
-
-    h, w, c = img.shape
-
-    def chunk(tag, payload):
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
-
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    header = struct.pack(">IIBBBBB", w, h, 8, 6 if c == 4 else 2, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
-            + chunk(b"IDAT", zlib.compress(raw, 1)) + chunk(b"IEND", b""))
+            self.history["render"].append(round(self.render_ms, 2))
+            self.history["tonemap"].append(round(tonemap_ms, 2))
+            self.history["encode"].append(round(self.encode_ms, 2))
+            self.history["total"].append(round(total_ms, 2))
+            self.history["fps"].append(round(self.fps, 2))
 
 
 def make_handler(state: ViewerState):
@@ -218,6 +308,8 @@ def make_handler(state: ViewerState):
                     "fps": state.fps,
                     "engine": state.engine_name,
                     "engines": state.engines,
+                    "history": {k: list(v)
+                                for k, v in state.history.items()},
                 }).encode()
                 self._send(200, "application/json", body)
             else:

@@ -52,7 +52,7 @@ def test_viewer_control_moves_camera():
 
 def test_viewer_png_bytes_roundtrip(tmp_path):
     from parallelraytracing_tpu.utils.png import read_png
-    from parallelraytracing_tpu.viewer.app import _png_bytes
+    from parallelraytracing_tpu.viewer.app import encode_png_bytes as _png_bytes
 
     img = (np.arange(8 * 6 * 4).reshape(6, 8, 4) % 256).astype(np.uint8)
     data = _png_bytes(img)
