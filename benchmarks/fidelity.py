@@ -56,7 +56,7 @@ def main():
     for preset in (ScenePreset.MATERIAL_TEST, ScenePreset.CORNELL,
                    ScenePreset.DEFAULT):
         oracle_hdr, oracle_ldr = render("megakernel", preset, cfg, frames)
-        for engine in ("wavefront", "wavefront_bvh", "bvh", "fused", "hybrid"):
+        for engine in ("wavefront", "wavefront_bvh", "bvh", "fused", "wavefront_fused"):
             hdr, ldr = render(engine, preset, cfg, frames)
             rmse_ldr = float(np.sqrt(np.mean((ldr - oracle_ldr) ** 2)))
             rmse_hdr = float(np.sqrt(np.mean((hdr - oracle_hdr) ** 2)))

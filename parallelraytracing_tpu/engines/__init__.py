@@ -20,10 +20,6 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
-    from parallelraytracing_tpu.engines import hybrid as _hybrid  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
     from parallelraytracing_tpu.engines import \
         wavefront_fused as _wavefront_fused  # noqa: F401
 except ImportError:  # pragma: no cover

@@ -52,6 +52,7 @@ class Renderer(abc.ABC):
     def set_camera(self, camera: Camera) -> None:
         """Renderer::SetCamera (renderer.h:14); cheap param upload, the
         memcpy-camera analogue (cuda_megakernel/renderer.cu:267-274)."""
+        self._camera = camera
         self._cam_params = jax.device_put(camera.ray_params())
 
     def reset_progressive(self) -> None:

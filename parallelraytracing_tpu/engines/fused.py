@@ -84,10 +84,31 @@ class FusedRenderer(Renderer):
     #: Morton-order camera rays so kernel tiles are screen-space blocks.
     morton_rays: bool = os.environ.get("PRT_MORTON", "1") != "0"
 
+    #: order linear-scan clusters nearest-the-eye first (ordered culling);
+    #: tables repack on set_camera.
+    front_to_back: bool = os.environ.get("PRT_F2B", "1") != "0"
+
+    def set_camera(self, camera) -> None:
+        super().set_camera(camera)
+        if self.front_to_back and hasattr(self, "_mats"):
+            self._pack_tables()  # cluster order is camera-dependent
+
     def _post_init(self) -> None:
+        self._pack_tables()
+        self._interpret = not _on_tpu()
+        cfg = self.config
+        if self.morton_rays:
+            perm, inv = morton_pixel_perm(cfg.width, cfg.height)
+            self._perm = jax.device_put(jnp.asarray(perm))
+            self._inv = jax.device_put(jnp.asarray(inv))
+        else:
+            self._perm = self._inv = None
+
+    def _pack_tables(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
+        eye = self._camera.position if self.front_to_back else None
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-            jax.device_get(self._scene_data), accel=self.accel)
+            jax.device_get(self._scene_data), accel=self.accel, eye=eye)
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
@@ -101,14 +122,6 @@ class FusedRenderer(Renderer):
                 to_vmem_rows(tab) if vm else tab)))
         self._sph_tab, self._quad_tab, self._tri_tab = tabs
         self._vmem_kinds = tuple(kinds)
-        self._interpret = not _on_tpu()
-        cfg = self.config
-        if self.morton_rays:
-            perm, inv = morton_pixel_perm(cfg.width, cfg.height)
-            self._perm = jax.device_put(jnp.asarray(perm))
-            self._inv = jax.device_put(jnp.asarray(inv))
-        else:
-            self._perm = self._inv = None
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config

@@ -68,12 +68,11 @@ class TLASRenderer(Renderer):
 
     def _post_init(self) -> None:
         base, tl = self._scene.build_two_level()
-        assert tl is not None, (
-            "tlas engine needs Scene.add_mesh_instances instances; use "
-            "'bvh' for scenes without instancing")
         self._scene_data = jax.device_put(base)  # base EXCLUDES instances
         self._bvh = jax.device_put(build_bvh(base))
-        self._tlas = jax.device_put(tl)
+        # Without instances this degrades to the plain single-level bvh
+        # engine (diagnostics probe every engine on a preset scene).
+        self._tlas = jax.device_put(tl) if tl is not None else None
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config
@@ -85,7 +84,12 @@ class TLASRenderer(Renderer):
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
                           cfg.jitter)
-            rad = tlas_trace(self._scene_data, self._bvh, self._tlas,
-                             o, d, k_path, cfg)
+            if self._tlas is None:
+                from parallelraytracing_tpu.engines.bvh import bvh_trace
+                rad = bvh_trace(self._scene_data, self._bvh, o, d, k_path,
+                                cfg)
+            else:
+                rad = tlas_trace(self._scene_data, self._bvh, self._tlas,
+                                 o, d, k_path, cfg)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

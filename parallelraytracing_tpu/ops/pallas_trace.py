@@ -25,8 +25,8 @@ Key TPU-native moves:
 
 Two kernels share one bounce step:
 - pallas_trace: the fused megakernel (all bounces inside the kernel).
-- pallas_bounce: one bounce over a compacted queue (the hybrid engine's
-  intersect+shade stage); RNG is keyed on PIXEL ids so compaction order
+- pallas_segment: n bounces over a compacted queue (the wavefront_fused
+  engine's stage); RNG is keyed on PIXEL ids so compaction/sort order
   does not change the image.
 
 Geometry/material semantics match ops/intersect.py and ops/materials.py
@@ -147,6 +147,41 @@ def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
+                   eye) -> tuple:
+    """Reorder a kind's primitive table in CLUSTER blocks so clusters are
+    visited nearest-the-eye first, and return (tab, cluster_bounds).
+
+    The linear scan tests clusters in storage order; nearest-first makes
+    best_t tighten early so occluded distant clusters fail the
+    better-than-best slab test for every lane (ordered culling — the role
+    of front-to-back traversal in the reference's OptiX BVH).  Blocks are
+    padded to a CLUSTER multiple with invalid columns so block
+    permutation preserves the lo = ci*CLUSTER indexing.  Correctness does
+    not depend on the order (strict < + ordinal tie-break)."""
+    eye = np.asarray(eye, np.float64)
+    n = tab.shape[1]
+    pad = (-n) % CLUSTER
+    if pad:
+        padcols = np.zeros((tab.shape[0], pad), np.float32)  # valid=0
+        tab = np.concatenate([tab, padcols], axis=1)
+        mn2 = np.concatenate([mn2, np.ones((pad, 3))])
+        mx2 = np.concatenate([mx2, -np.ones((pad, 3))])
+    n_cl = tab.shape[1] // CLUSTER
+    emn = np.minimum(mn2, mx2).reshape(n_cl, CLUSTER, 3)
+    emx = np.maximum(mn2, mx2).reshape(n_cl, CLUSTER, 3)
+    lo = emn.min(1)
+    hi = emx.max(1)
+    # distance from eye to each cluster's effective box
+    d = np.maximum(np.maximum(lo - eye, eye - hi), 0.0)
+    order = np.argsort(np.linalg.norm(d, axis=1), kind="stable")
+    blocks = tab.reshape(tab.shape[0], n_cl, CLUSTER)[:, order, :]
+    tab = np.ascontiguousarray(blocks.reshape(tab.shape[0], -1))
+    mn2 = mn2.reshape(n_cl, CLUSTER, 3)[order].reshape(-1, 3)
+    mx2 = mx2.reshape(n_cl, CLUSTER, 3)[order].reshape(-1, 3)
+    return tab, _cluster_bounds(mn2, mx2)
+
+
 # Cluster count above which "auto" picks the BVH walk over the linear
 # scan for a kind.  Measured on the v5e tile (benchmarks/RESULTS.md): at
 # 26 clusters the linear scan's 26 cheap slab tests beat the walk's
@@ -155,7 +190,7 @@ def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
 TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "64"))
 
 
-def pack_scene_tables(scene: SceneData, accel: str = "auto"):
+def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     """Returns (sph_tab, quad_tab, tri_tab, sph_acc, quad_acc, tri_acc,
     mats) float32 host arrays.  Primitives of each kind are sorted by the Morton
     code of their AABB centroid so consecutive runs of CLUSTER primitives
@@ -225,6 +260,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto"):
     if accel == "tree" or (accel == "auto"
                            and sph_cl.shape[1] > TREE_THRESHOLD):
         sph_cl = _cluster_tree(sph_cl, len(sv))
+    elif eye is not None and sph_cl.shape[1] > 1:
+        sph, sph_cl = _front_to_back(sph, s_mn2,
+                                           s_mx2, eye)
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
@@ -251,6 +289,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto"):
     if accel == "tree" or (accel == "auto"
                            and quad_cl.shape[1] > TREE_THRESHOLD):
         quad_cl = _cluster_tree(quad_cl, len(qvd))
+    elif eye is not None and quad_cl.shape[1] > 1:
+        quad, quad_cl = _front_to_back(quad, q_mn2,
+                                           q_mx2, eye)
 
     v0 = np.asarray(scene.tri_v0, np.float32)
     v1 = np.asarray(scene.tri_v1, np.float32)
@@ -281,6 +322,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto"):
     if accel == "tree" or (accel == "auto"
                            and tri_cl.shape[1] > TREE_THRESHOLD):
         tri_cl = _cluster_tree(tri_cl, len(tvd))
+    elif eye is not None and tri_cl.shape[1] > 1:
+        tri, tri_cl = _front_to_back(tri, t_mn2,
+                                           t_mx2, eye)
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
@@ -952,21 +996,6 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
     return flat[:12], flat[12]
 
 
-def pallas_bounce(pix, o9, sph_tab, quad_tab, tri_tab,
-                  sph_cl, quad_cl, tri_cl, mats, scalars,
-                  rows: int, t_min: float, t_max: float,
-                  sky: Tuple[float, float, float],
-                  interpret: bool = False, rr_depth: int = 0,
-                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
-    """Single-bounce shim over pallas_segment (the hybrid engine stage):
-    radiance inputs are zero, so the returned radiance IS this bounce's
-    contribution."""
-    z = jnp.zeros_like(pix)
-    out12, alive = pallas_segment(pix, (*o9, z, z, z), sph_tab, quad_tab,
-                                  tri_tab, sph_cl, quad_cl, tri_cl, mats,
-                                  scalars, rows, 1, t_min, t_max, sky,
-                                  interpret, rr_depth, vmem_kinds)
-    return out12[:9], out12[9:12], alive
 
 
 def to_vmem_rows(tab: np.ndarray) -> np.ndarray:

@@ -19,10 +19,10 @@ def test_light_list_registers_emissives():
     assert (types == 3).sum() == 2  # both emissive
 
 
-def test_hybrid_bitmatches_fused():
+def test_wavefront_fused_bitmatches_fused():
     cfg = RenderConfig(width=32, height=16, max_depth=5, seed=11)
     imgs = {}
-    for engine in ("fused", "hybrid"):
+    for engine in ("fused", "wavefront_fused"):
         scene = Scene(ScenePreset.DEFAULT)
         film = Film(cfg.width, cfg.height)
         r = create_renderer(engine)
@@ -30,7 +30,8 @@ def test_hybrid_bitmatches_fused():
         for _ in range(3):
             r.progressive_render()
         imgs[engine] = np.asarray(film.hdr_average())
-    np.testing.assert_array_equal(imgs["fused"], imgs["hybrid"])
+    np.testing.assert_array_equal(imgs["fused"],
+                                  imgs["wavefront_fused"])
 
 
 def test_mesh_instances_render():
