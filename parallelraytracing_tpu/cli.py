@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-jitter", action="store_true",
                    help="sample pixel centers (reference CPU/CUDA behavior)")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation: sample emissive lights "
+                        "directly at diffuse hits (megakernel/bvh engines; "
+                        "much lower variance on emissive-lit scenes)")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
     p.add_argument("--look-at", type=float, nargs=3, default=None,
@@ -86,7 +90,8 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth, samples_per_frame=args.spp,
-                       jitter=not args.no_jitter, seed=args.seed)
+                       jitter=not args.no_jitter, seed=args.seed,
+                       nee=args.nee)
 
     if args.ply:
         from parallelraytracing_tpu.core.mesh import load_ply

@@ -70,6 +70,10 @@ class RenderConfig:
     # this depth (0 disables — the reference has none; listed as future work
     # in wavefront.md:91-96).
     russian_roulette_depth: int = 0
+
+    #: Next-event estimation (direct light sampling at diffuse vertices,
+    #: ops/nee.py) — an extension over the reference; off for fidelity.
+    nee: bool = False
     # Firefly clamping: cap per-sample radiance before accumulation
     # (0 disables; biased but kills outlier speckle — wavefront.md lists it
     # as planned future work).

@@ -2,55 +2,32 @@
 
 The reference keeps an intentionally empty Light placeholder
 (/root/reference/src/core/light.{h,cpp}) — explicit lights are modeled as
-emissive materials instead (SURVEY.md §2 row 13).  This module mirrors
-that design decision and provides the convenience constructors a light API
-would otherwise offer, each returning an emissive-material primitive.
+emissive materials instead (SURVEY.md §2 row 13).  This module keeps that
+design and provides the convenience constructors a light API would
+otherwise offer.
 
-Next-event estimation (sampling these lights directly) is the natural
-follow-on once importance sampling lands; the registry below records every
-light added through this API so a future NEE integrator can enumerate
-them.
+Light ENUMERATION for next-event estimation does not need a registry:
+`ops/nee.extract_lights(scene.build())` finds every samplable emissive
+primitive in the compiled scene — including ones added without these
+helpers — and `RenderConfig.nee=True` turns on direct light sampling in
+the megakernel/bvh engines.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Tuple
-
 from parallelraytracing_tpu.core.scene import Scene
 
 
-@dataclasses.dataclass(frozen=True)
-class LightRecord:
-    kind: str            # "sphere" | "quad"
-    emission: Tuple[float, float, float]
-    params: tuple        # kind-specific geometry
+def add_sphere_light(scene: Scene, center, radius: float, emission) -> int:
+    """Emissive sphere; returns the material id."""
+    mat = scene.add_emissive(emission)
+    scene.add_sphere(radius, mat, ((1, 1, 1), (0, 0, 0), tuple(center)))
+    return mat
 
 
-class LightList:
-    """Registry of emissive primitives added through the light helpers."""
-
-    def __init__(self) -> None:
-        self._lights: List[LightRecord] = []
-
-    def add_sphere_light(self, scene: Scene, center, radius: float,
-                         emission) -> int:
-        mat = scene.add_emissive(emission)
-        scene.add_sphere(radius, mat, ((1, 1, 1), (0, 0, 0), tuple(center)))
-        self._lights.append(LightRecord("sphere", tuple(emission),
-                                        (tuple(center), radius)))
-        return mat
-
-    def add_quad_light(self, scene: Scene, width: float, height: float,
-                       emission, transform=None) -> int:
-        mat = scene.add_emissive(emission)
-        scene.add_quad(width, height, mat, transform)
-        self._lights.append(LightRecord("quad", tuple(emission),
-                                        (width, height)))
-        return mat
-
-    def __len__(self) -> int:
-        return len(self._lights)
-
-    def __iter__(self):
-        return iter(self._lights)
+def add_quad_light(scene: Scene, width: float, height: float, emission,
+                   transform=None) -> int:
+    """Emissive quad; returns the material id."""
+    mat = scene.add_emissive(emission)
+    scene.add_quad(width, height, mat, transform)
+    return mat

@@ -31,11 +31,11 @@ from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
 
 @partial(jax.jit, static_argnames=("cfg",))
 def bvh_trace(scene: SceneData, bvh: BVHData, o: jax.Array, d: jax.Array,
-              key: jax.Array, cfg: RenderConfig) -> jax.Array:
+              key: jax.Array, cfg: RenderConfig, lights=None) -> jax.Array:
     def intersect(s, oo, dd):
         return bvh_intersect_scene(s, bvh, oo, dd, cfg.t_min, cfg.t_max)
 
-    return trace_paths_tiled(scene, o, d, key, cfg, intersect)
+    return trace_paths_tiled(scene, o, d, key, cfg, intersect, lights)
 
 
 @register_engine
@@ -53,6 +53,9 @@ class BVHRenderer(Renderer):
     def _post_init(self) -> None:
         # AS build at Init (optix/renderer.cpp:949-1010 analogue).
         self._bvh = jax.device_put(build_bvh(self._scene_data))
+        from parallelraytracing_tpu.ops.nee import extract_lights
+        self._lights = (extract_lights(jax.device_get(self._scene_data))
+                        if self.config.nee else None)
         if self.animate is not None:
             plan = build_refit_plan(self._bvh)
             animate = self.animate
@@ -83,6 +86,6 @@ class BVHRenderer(Renderer):
                     jnp.int32(frame_index), cfg)
             else:
                 rad = bvh_trace(self._scene_data, self._bvh, o, d, k_path,
-                                cfg)
+                                cfg, self._lights)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

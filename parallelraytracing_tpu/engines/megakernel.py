@@ -33,8 +33,8 @@ def raygen(cam_params: jax.Array, key: jax.Array, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def trace(scene: SceneData, o: jax.Array, d: jax.Array, key: jax.Array,
-          cfg: RenderConfig) -> jax.Array:
-    return trace_paths_tiled(scene, o, d, key, cfg)
+          cfg: RenderConfig, lights=None) -> jax.Array:
+    return trace_paths_tiled(scene, o, d, key, cfg, lights=lights)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -63,6 +63,11 @@ def render_frame(scene: SceneData, cam_params: jax.Array, key: jax.Array,
 class MegakernelRenderer(Renderer):
     name = "megakernel"
 
+    def _post_init(self) -> None:
+        from parallelraytracing_tpu.ops.nee import extract_lights
+        self._lights = (extract_lights(jax.device_get(self._scene_data))
+                        if self.config.nee else None)
+
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config
         base = jax.random.fold_in(
@@ -73,6 +78,7 @@ class MegakernelRenderer(Renderer):
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
                           cfg.jitter)
-            rad = trace(self._scene_data, o, d, k_path, cfg)
+            rad = trace(self._scene_data, o, d, k_path, cfg,
+                        self._lights)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

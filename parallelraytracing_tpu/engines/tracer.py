@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from parallelraytracing_tpu.config import RenderConfig
-from parallelraytracing_tpu.core.scene import SceneData
+from parallelraytracing_tpu.core.scene import MAT_LAMBERTIAN, SceneData
 from parallelraytracing_tpu.ops.intersect import HitRecord, intersect_scene
 from parallelraytracing_tpu.ops.materials import (
     emitted, random_unit_vectors, scatter)
+from parallelraytracing_tpu.ops.nee import LightsData, sample_light
 
 IntersectFn = Callable[[SceneData, jax.Array, jax.Array], HitRecord]
 
@@ -46,21 +47,28 @@ def trace_paths(
     key: jax.Array,
     cfg: RenderConfig,
     intersect: Optional[IntersectFn] = None,
+    lights: Optional[LightsData] = None,
 ) -> jax.Array:
-    """Path-trace R rays to completion; returns (R,3) radiance."""
+    """Path-trace R rays to completion; returns (R,3) radiance.
+
+    With `lights` (and cfg.nee), every Lambertian vertex also samples one
+    emissive primitive directly (ops/nee.py) and emission is skipped at
+    vertices reached by a diffuse bounce — same expectation, much lower
+    variance on emissive-lit scenes."""
     if intersect is None:
         intersect = make_brute_force_intersector(cfg)
     r = o.shape[0]
     radiance = jnp.zeros((r, 3), o.dtype)
     throughput = jnp.ones((r, 3), o.dtype)
     alive = jnp.ones((r,), bool)
+    no_emit = jnp.zeros((r,), bool)
 
     def cond(state):
-        depth, _, _, _, _, alive = state
+        depth, _, _, _, _, alive, _ = state
         return (depth < cfg.max_depth) & jnp.any(alive)
 
     def body(state):
-        depth, o, d, radiance, throughput, alive = state
+        depth, o, d, radiance, throughput, alive, no_emit = state
         hit = intersect(scene, o, d)
 
         miss = alive & ~hit.hit
@@ -69,13 +77,31 @@ def trace_paths(
 
         lit = alive & hit.hit
         radiance = radiance + jnp.where(
-            lit[:, None], throughput * emitted(scene, hit.mat), 0.0)
+            (lit & ~no_emit)[:, None],
+            throughput * emitted(scene, hit.mat), 0.0)
 
         k = jax.random.fold_in(key, depth)
         k_dir, k_uni = jax.random.split(k)
         unit = random_unit_vectors(k_dir, r)
         uni = jax.random.uniform(k_uni, (r,), dtype=o.dtype)
         new_d, atten, scat_alive = scatter(scene, d, hit, unit, uni)
+
+        is_lam = scene.mat_type[hit.mat] == MAT_LAMBERTIAN
+        if lights is not None:
+            # --- next-event estimation at Lambertian vertices
+            k_nee = jax.random.fold_in(k, 11)
+            u3 = jax.random.uniform(k_nee, (r, 3), dtype=o.dtype)
+            wi, pdf, lvalid, lkind, lidx, lemit = sample_light(
+                lights, hit.pos, u3)
+            cos_s = jnp.sum(hit.normal * wi, axis=1)
+            cand = lit & is_lam & lvalid & (cos_s > 0.0)
+            sh = intersect(scene, hit.pos, wi)
+            vis = sh.hit & (sh.kind == lkind) & (sh.idx == lidx)
+            albedo = scene.mat_albedo[hit.mat]
+            w = (cos_s / (jnp.pi * jnp.maximum(pdf, 1e-12)))[:, None]
+            contrib = throughput * albedo * w * lemit
+            radiance = radiance + jnp.where(
+                (cand & vis)[:, None], contrib, 0.0)
 
         cont = lit & scat_alive
         throughput = jnp.where(cont[:, None], throughput * atten, throughput)
@@ -95,9 +121,13 @@ def trace_paths(
 
         o = jnp.where(cont[:, None], hit.pos, o)
         d = jnp.where(cont[:, None], new_d, d)
-        return depth + 1, o, d, radiance, throughput, cont
+        # Emission at the next vertex is already accounted by this
+        # vertex's light sample iff the bounce was diffuse.
+        no_emit_next = (cont & is_lam) if lights is not None \
+            else jnp.zeros_like(cont)
+        return depth + 1, o, d, radiance, throughput, cont, no_emit_next
 
-    state = (jnp.int32(0), o, d, radiance, throughput, alive)
+    state = (jnp.int32(0), o, d, radiance, throughput, alive, no_emit)
     state = jax.lax.while_loop(cond, body, state)
     return state[3]
 
@@ -163,6 +193,7 @@ def trace_paths_tiled(
     key: jax.Array,
     cfg: RenderConfig,
     intersect: Optional[IntersectFn] = None,
+    lights: Optional[LightsData] = None,
 ) -> jax.Array:
     """Tile rays so the (rays x chunk) intersection transients stay small,
     then run the bounce loop per tile (tiles are sequential via lax.map —
@@ -175,7 +206,7 @@ def trace_paths_tiled(
         d = jnp.pad(d, ((0, n_pad), (0, 0)), constant_values=1.0)
     n_tiles = (r + n_pad) // tile
     if n_tiles == 1:
-        return trace_paths(scene, o, d, key, cfg, intersect)[:r]
+        return trace_paths(scene, o, d, key, cfg, intersect, lights)[:r]
 
     o_t = o.reshape(n_tiles, tile, 3)
     d_t = d.reshape(n_tiles, tile, 3)
@@ -184,7 +215,7 @@ def trace_paths_tiled(
 
     def one(args):
         ot, dt, kt = args
-        return trace_paths(scene, ot, dt, kt, cfg, intersect)
+        return trace_paths(scene, ot, dt, kt, cfg, intersect, lights)
 
     out = jax.lax.map(one, (o_t, d_t, keys))
     return out.reshape(n_tiles * tile, 3)[:r]

@@ -3,20 +3,21 @@ import pytest
 
 from parallelraytracing_tpu import Film, RenderConfig, Scene, ScenePreset, create_renderer
 from parallelraytracing_tpu.core.camera import default_camera
-from parallelraytracing_tpu.core.light import LightList
+from parallelraytracing_tpu.core.light import add_quad_light, add_sphere_light
 
 
-def test_light_list_registers_emissives():
+def test_light_helpers_and_nee_enumeration():
+    from parallelraytracing_tpu.ops.nee import extract_lights
     s = Scene(preset=None)
-    lights = LightList()
-    lights.add_sphere_light(s, (0, 5, 0), 1.0, (10, 10, 10))
-    lights.add_quad_light(s, 4, 4, (3, 2, 1), ((1, 1, 1), (90, 0, 0), (0, 8, 0)))
-    assert len(lights) == 2
+    add_sphere_light(s, (0, 5, 0), 1.0, (10, 10, 10))
+    add_quad_light(s, 4, 4, (3, 2, 1), ((1, 1, 1), (90, 0, 0), (0, 8, 0)))
     d = s.build()
     assert int(np.asarray(d.sph_valid).sum()) == 1
     assert int(np.asarray(d.quad_valid).sum()) == 1
     types = np.asarray(d.mat_type)
     assert (types == 3).sum() == 2  # both emissive
+    lights = extract_lights(d)  # the NEE integrator sees both
+    assert lights is not None and lights.count == 2
 
 
 def test_wavefront_fused_bitmatches_fused():
