@@ -112,9 +112,10 @@ def main() -> None:
                                       jnp.int32)
             total += int(count_frame_rays(
                 o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab,
-                r._sph_cl, r._quad_cl, r._tri_cl, r._mats, seed,
-                r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-                r._interpret, cfg.russian_roulette_depth, r._vmem_kinds))
+                r._sph_cl, r._quad_cl, r._tri_cl, r._mats, r._lights_tab,
+                seed, r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
+                r._interpret, cfg.russian_roulette_depth, r._vmem_kinds,
+                r._nee))
         return total / n_frames
 
     results = {}

@@ -105,10 +105,17 @@ class FusedRenderer(Renderer):
             self._perm = self._inv = None
 
     def _pack_tables(self) -> None:
-        from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
+        from parallelraytracing_tpu.ops.nee import extract_lights
+        from parallelraytracing_tpu.ops.pallas_trace import (
+            pack_lights_table, to_vmem_rows)
         eye = self._camera.position if self.front_to_back else None
+        host_scene = jax.device_get(self._scene_data)
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-            jax.device_get(self._scene_data), accel=self.accel, eye=eye)
+            host_scene, accel=self.accel, eye=eye)
+        self._nee = bool(self.config.nee
+                         and extract_lights(host_scene) is not None)
+        self._lights_tab = jax.device_put(
+            jnp.asarray(pack_lights_table(host_scene)))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
@@ -155,11 +162,13 @@ class FusedRenderer(Renderer):
                 jnp.int32)
             rad = pallas_trace(o, d, pix, self._sph_tab, self._quad_tab,
                                self._tri_tab, self._sph_cl, self._quad_cl,
-                               self._tri_cl, self._mats, seed, self.rows,
+                               self._tri_cl, self._mats, self._lights_tab,
+                               seed, self.rows,
                                cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                                interpret=self._interpret,
                                rr_depth=cfg.russian_roulette_depth,
-                               vmem_kinds=self._vmem_kinds)[:r]
+                               vmem_kinds=self._vmem_kinds,
+                               nee=self._nee)[:r]
             if self._inv is not None:
                 rad = jnp.take(rad, self._inv, axis=0)
             acc = rad if acc is None else acc + rad

@@ -68,14 +68,14 @@ def _origin_morton(ox, oy, oz, bb_lo, inv_ext):
 @partial(jax.jit,
          static_argnames=("rows", "segment", "max_depth", "t_min", "t_max",
                           "sky", "bb", "interpret", "rr_depth",
-                          "vmem_kinds", "sort_rays"))
+                          "vmem_kinds", "sort_rays", "nee"))
 def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
-                    sph_cl, quad_cl, tri_cl, mats, seed,
+                    sph_cl, quad_cl, tri_cl, mats, lights, seed,
                     rows: int, segment: int, max_depth: int,
                     t_min: float, t_max: float, sky, bb,
                     interpret: bool = False, rr_depth: int = 0,
                     vmem_kinds=(False, False, False),
-                    sort_rays: bool = True):
+                    sort_rays: bool = True, nee: bool = False):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
@@ -95,6 +95,7 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
              padp(d[:, 0]), padp(d[:, 1]), padp(d[:, 2], 1.0),
              jnp.ones(rp), jnp.ones(rp), jnp.ones(rp),      # throughput
              jnp.zeros(rp), jnp.zeros(rp), jnp.zeros(rp)]   # radiance
+    alive_p = jnp.ones(rp)  # carries the NEE no-emit flag across segments
     count = jnp.int32(r)
     bb_lo, inv_ext = bb
 
@@ -104,11 +105,12 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
         scalars = jnp.stack([seed[0], jnp.int32(s * segment),
                              count]).astype(jnp.int32)
         state, alive = pallas_segment(
-            pix, tuple(state), sph_tab, quad_tab, tri_tab,
-            sph_cl, quad_cl, tri_cl, mats, scalars,
+            pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
+            sph_cl, quad_cl, tri_cl, mats, lights, scalars,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
-            vmem_kinds)
+            vmem_kinds, nee)
         state = list(state)
+        alive_p = alive
 
         if s + 1 < n_segs:
             # Compact + coherence-sort in ONE argsort: dead rays key to
@@ -125,10 +127,11 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
             key = jnp.where(alive_b, key, jnp.int32(2**30))
             order = jnp.argsort(key)
             count = jnp.sum(alive_b.astype(jnp.int32))
-            mat = jnp.stack([pix, *state], axis=1)
+            mat = jnp.stack([pix, *state, alive_p], axis=1)
             mat = jnp.take(mat, order, axis=0)
             pix = mat[:, 0]
             state = [mat[:, i + 1] for i in range(12)]
+            alive_p = mat[:, 13]
 
     # One end-of-frame scatter puts radiance back in pixel order.
     rad = jnp.zeros((rp + 1, 3), jnp.float32)  # slot rp = dropped pad
@@ -139,13 +142,15 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
 
 @partial(jax.jit,
          static_argnames=("rows", "max_depth", "t_min", "t_max",
-                          "sky", "interpret", "rr_depth", "vmem_kinds"))
+                          "sky", "interpret", "rr_depth", "vmem_kinds",
+                          "nee"))
 def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
-                     sph_cl, quad_cl, tri_cl, mats, seed,
+                     sph_cl, quad_cl, tri_cl, mats, lights, seed,
                      rows: int, max_depth: int,
                      t_min: float, t_max: float, sky,
                      interpret: bool = False, rr_depth: int = 0,
-                     vmem_kinds=(False, False, False)) -> jax.Array:
+                     vmem_kinds=(False, False, False),
+                     nee: bool = False) -> jax.Array:
     """EXACT ray count of one frame: camera rays + rays alive entering
     every later bounce, measured by stepping the SAME pixel-keyed PCG
     streams the Pallas engines trace (single-bounce segments, no
@@ -165,6 +170,7 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
              padp(d[:, 0]), padp(d[:, 1]), padp(d[:, 2], 1.0),
              jnp.ones(rp), jnp.ones(rp), jnp.ones(rp),
              jnp.zeros(rp), jnp.zeros(rp), jnp.zeros(rp)]
+    alive_p = jnp.ones(rp)
     count = jnp.int32(r)
     total = jnp.int32(0)
     for depth in range(max_depth):
@@ -172,10 +178,12 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
         scalars = jnp.stack([seed[0], jnp.int32(depth),
                              count]).astype(jnp.int32)
         state, alive = pallas_segment(
-            pix, tuple(state), sph_tab, quad_tab, tri_tab,
-            sph_cl, quad_cl, tri_cl, mats, scalars,
-            rows, 1, t_min, t_max, sky, interpret, rr_depth, vmem_kinds)
+            pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
+            sph_cl, quad_cl, tri_cl, mats, lights, scalars,
+            rows, 1, t_min, t_max, sky, interpret, rr_depth, vmem_kinds,
+            nee)
         state = list(state)
+        alive_p = alive
         # Compact survivors to the front (in_q masks the first `count`
         # slots); order-stable, and RNG is pixel-keyed so the permutation
         # cannot change the streams.
@@ -184,10 +192,11 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
                         jnp.int32(2**30))
         order = jnp.argsort(key)
         count = jnp.sum(alive_b.astype(jnp.int32))
-        mat = jnp.stack([pix, *state], axis=1)
+        mat = jnp.stack([pix, *state, alive_p], axis=1)
         mat = jnp.take(mat, order, axis=0)
         pix = mat[:, 0]
         state = [mat[:, i + 1] for i in range(12)]
+        alive_p = mat[:, 13]
     return total
 
 
@@ -209,9 +218,15 @@ class WavefrontFusedRenderer(Renderer):
     def _post_init(self) -> None:
         from parallelraytracing_tpu.accel.lbvh import scene_primitive_aabbs
         from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
+        from parallelraytracing_tpu.ops.nee import extract_lights
+        from parallelraytracing_tpu.ops.pallas_trace import pack_lights_table
         host_scene = jax.device_get(self._scene_data)
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
             host_scene, accel=self.accel)
+        self._nee = bool(self.config.nee
+                         and extract_lights(host_scene) is not None)
+        self._lights_tab = jax.device_put(
+            jnp.asarray(pack_lights_table(host_scene)))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
@@ -262,9 +277,10 @@ class WavefrontFusedRenderer(Renderer):
             rad = segmented_trace(
                 o, d, pix0, self._sph_tab, self._quad_tab, self._tri_tab,
                 self._sph_cl, self._quad_cl, self._tri_cl, self._mats,
+                self._lights_tab,
                 seed, self.rows, self.segment, cfg.max_depth,
                 cfg.t_min, cfg.t_max, sky, self._bb,
                 self._interpret, cfg.russian_roulette_depth,
-                self._vmem_kinds, self.sort_rays)
+                self._vmem_kinds, self.sort_rays, self._nee)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -60,17 +60,23 @@ BIG = 3.0e38
 
 import os as _os
 
-# Primitives per SMEM culling cluster (tunable for experiments).
-CLUSTER = int(_os.environ.get("PRT_CLUSTER", "32"))
+# Primitives per SMEM culling cluster.  Per-kind: the sphere/quad linear
+# scan amortizes best at 16 (measured, RESULTS.md); triangle meshes go
+# through the cluster-BVH walk where smaller leaves pay (fewer tested
+# prims per entered leaf) — 8 measured 1.6x on the bunny.
+CLUSTER = int(_os.environ.get("PRT_CLUSTER", "16"))
+TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "8"))
 
 
-def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
-    """(N,3)x2 AABBs -> (6, ceil(N/CLUSTER)) cluster-union bounds."""
+def _cluster_bounds(mn: np.ndarray, mx: np.ndarray,
+                    csize: int = None) -> np.ndarray:
+    """(N,3)x2 AABBs -> (6, ceil(N/csize)) cluster-union bounds."""
+    csize = csize or CLUSTER
     n = len(mn)
-    n_cl = max(1, -(-n // CLUSTER))
+    n_cl = max(1, -(-n // csize))
     out = np.zeros((6, n_cl), np.float32)
     for c in range(n_cl):
-        lo, hi = c * CLUSTER, min((c + 1) * CLUSTER, n)
+        lo, hi = c * csize, min((c + 1) * csize, n)
         if lo >= n:
             out[:3, c] = 1.0
             out[3:, c] = -1.0  # empty (inverted) box: never hit
@@ -80,7 +86,8 @@ def _cluster_bounds(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return out
 
 
-def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
+def _cluster_tree(cl: np.ndarray, n_prims: int,
+                  csize: int = None) -> np.ndarray:
     """(6, n_cl) cluster-union bounds -> (9, M) threaded BVH table.
 
     The in-kernel acceleration structure (the role of the reference's
@@ -93,6 +100,7 @@ def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
     bounded far under that).  M = 2*n_cl - 1."""
     from parallelraytracing_tpu.accel.lbvh import (_karras_tree, morton3d,
                                                    thread_tree)
+    csize = csize or CLUSTER
     n_cl = cl.shape[1]
     # Effective boxes: the kernel's slab test is min/max-swap insensitive,
     # so an "inverted" empty box behaves as its swapped corners.
@@ -125,8 +133,8 @@ def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
     node_mn[leaf_slots] = emn[src]
     node_mx[leaf_slots] = emx[src]
     out[7] = -1.0
-    out[7, leaf_slots] = src * CLUSTER
-    out[8, leaf_slots] = np.minimum(src * CLUSTER + CLUSTER, n_prims)
+    out[7, leaf_slots] = src * csize
+    out[8, leaf_slots] = np.minimum(src * csize + csize, n_prims)
 
     # Internal AABBs: reverse-preorder stack sweep (children precede their
     # parent when walking preorder backwards).
@@ -148,7 +156,7 @@ def _cluster_tree(cl: np.ndarray, n_prims: int) -> np.ndarray:
 
 
 def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
-                   eye) -> tuple:
+                   eye, csize: int = None) -> tuple:
     """Reorder a kind's primitive table in CLUSTER blocks so clusters are
     visited nearest-the-eye first, and return (tab, cluster_bounds).
 
@@ -159,27 +167,28 @@ def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
     padded to a CLUSTER multiple with invalid columns so block
     permutation preserves the lo = ci*CLUSTER indexing.  Correctness does
     not depend on the order (strict < + ordinal tie-break)."""
+    csize = csize or CLUSTER
     eye = np.asarray(eye, np.float64)
     n = tab.shape[1]
-    pad = (-n) % CLUSTER
+    pad = (-n) % csize
     if pad:
         padcols = np.zeros((tab.shape[0], pad), np.float32)  # valid=0
         tab = np.concatenate([tab, padcols], axis=1)
         mn2 = np.concatenate([mn2, np.ones((pad, 3))])
         mx2 = np.concatenate([mx2, -np.ones((pad, 3))])
-    n_cl = tab.shape[1] // CLUSTER
-    emn = np.minimum(mn2, mx2).reshape(n_cl, CLUSTER, 3)
-    emx = np.maximum(mn2, mx2).reshape(n_cl, CLUSTER, 3)
+    n_cl = tab.shape[1] // csize
+    emn = np.minimum(mn2, mx2).reshape(n_cl, csize, 3)
+    emx = np.maximum(mn2, mx2).reshape(n_cl, csize, 3)
     lo = emn.min(1)
     hi = emx.max(1)
     # distance from eye to each cluster's effective box
     d = np.maximum(np.maximum(lo - eye, eye - hi), 0.0)
     order = np.argsort(np.linalg.norm(d, axis=1), kind="stable")
-    blocks = tab.reshape(tab.shape[0], n_cl, CLUSTER)[:, order, :]
+    blocks = tab.reshape(tab.shape[0], n_cl, csize)[:, order, :]
     tab = np.ascontiguousarray(blocks.reshape(tab.shape[0], -1))
-    mn2 = mn2.reshape(n_cl, CLUSTER, 3)[order].reshape(-1, 3)
-    mx2 = mx2.reshape(n_cl, CLUSTER, 3)[order].reshape(-1, 3)
-    return tab, _cluster_bounds(mn2, mx2)
+    mn2 = mn2.reshape(n_cl, csize, 3)[order].reshape(-1, 3)
+    mx2 = mx2.reshape(n_cl, csize, 3)[order].reshape(-1, 3)
+    return tab, _cluster_bounds(mn2, mx2, csize)
 
 
 # Cluster count above which "auto" picks the BVH walk over the linear
@@ -318,17 +327,40 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None]], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
-    tri_cl = _cluster_bounds(t_mn2, t_mx2)
+    tri_cl = _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER)
     if accel == "tree" or (accel == "auto"
                            and tri_cl.shape[1] > TREE_THRESHOLD):
-        tri_cl = _cluster_tree(tri_cl, len(tvd))
+        tri_cl = _cluster_tree(tri_cl, len(tvd), TRI_CLUSTER)
     elif eye is not None and tri_cl.shape[1] > 1:
-        tri, tri_cl = _front_to_back(tri, t_mn2,
-                                           t_mx2, eye)
+        tri, tri_cl = _front_to_back(tri, t_mn2, t_mx2, eye, TRI_CLUSTER)
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
             np.ascontiguousarray(mats))
+
+
+def pack_lights_table(scene: SceneData) -> np.ndarray:
+    """(18, Nl) f32 light table for in-kernel NEE: [kind, global ord,
+    center(3), radius, u(3), v(3), normal(3), emit(3)] per samplable
+    emissive primitive (ops/nee.extract_lights enumeration).  Returns a
+    (18, 1) zero dummy when the scene has none (n_lights=0 disables the
+    kernel block)."""
+    from parallelraytracing_tpu.ops.nee import extract_lights
+    L = extract_lights(scene)
+    if L is None:
+        return np.zeros((18, 1), np.float32)
+    kind = np.asarray(L.kind)
+    idx = np.asarray(L.idx)
+    n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
+    ordv = np.where(kind == KIND_SPHERE, idx, n_sph_full + idx)
+    return np.concatenate([
+        kind[None].astype(np.float32), ordv[None].astype(np.float32),
+        np.asarray(L.center, np.float32).T,
+        np.asarray(L.radius, np.float32)[None],
+        np.asarray(L.u, np.float32).T,
+        np.asarray(L.v, np.float32).T,
+        np.asarray(L.normal, np.float32).T,
+        np.asarray(L.emit, np.float32).T], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +405,8 @@ def make_reader(ref, vmem_rows: bool):
 
 def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       sph_get, quad_get, tri_get, rr_depth: int = 0,
-                      cluster_refs=None, mats_ref=None):
+                      cluster_refs=None, mats_ref=None, lights_ref=None,
+                      nee: bool = False, n_lights: int = 0):
     f0 = jnp.zeros(shape, jnp.float32)
 
     def mat_of(mid):
@@ -386,228 +419,240 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
         alive_b = alive > 0.0
+        # NEE encodes "emission already sampled at the previous (diffuse)
+        # vertex" as alive == 2 (keeps the cross-segment state at 13
+        # planes).
+        emit_w = jnp.where(alive > 1.5, 0.0, 1.0) if nee else 1.0
 
-        # Safe reciprocal directions for the cluster slab tests.
-        eps = 1e-20
-        inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps,
-                                 jnp.where(dx < 0, -eps, eps), dx)
-        inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps,
-                                 jnp.where(dy < 0, -eps, eps), dy)
-        inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps,
-                                 jnp.where(dz < 0, -eps, eps), dz)
+        def closest_hit(ox, oy, oz, dx, dy, dz, active_b):
+            """Full closest-hit fold of one ray set against the scene
+            (camera/bounce rays AND shadow rays share this)."""
+            # Safe reciprocal directions for the cluster slab tests.
+            eps = 1e-20
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                     jnp.where(dx < 0, -eps, eps), dx)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                     jnp.where(dy < 0, -eps, eps), dy)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                     jnp.where(dz < 0, -eps, eps), dz)
 
-        # ---------------- closest hit fold over all primitives
-        # The fold carries RAW winner geometry (sphere center / quad normal
-        # / unnormalized interpolated triangle normal in gx,gy,gz) plus the
-        # winning kind; the shading normal is reconstructed ONCE per bounce
-        # after the fold, so per-primitive bodies skip hit-point and
-        # normal math (~11 vector ops saved per tested primitive).
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        carry0 = (best_t, f0, f0, f0, f0, f0,
-                  f0, f0, f0, f0, f0, f0, f0,
-                  jnp.full(shape, 1.0, jnp.float32),
-                  jnp.full(shape, float(1 << 24), jnp.float32),  # best_ord
-                  jnp.full(shape, -1.0, jnp.float32))            # kind
+            # ---------------- closest hit fold over all primitives
+            # The fold carries RAW winner geometry (sphere center / quad normal
+            # / unnormalized interpolated triangle normal in gx,gy,gz) plus the
+            # winning kind; the shading normal is reconstructed ONCE per bounce
+            # after the fold, so per-primitive bodies skip hit-point and
+            # normal math (~11 vector ops saved per tested primitive).
+            best_t = jnp.full(shape, BIG, jnp.float32)
+            carry0 = (best_t, f0, f0, f0, f0, f0,
+                      f0, f0, f0, f0, f0, f0, f0,
+                      jnp.full(shape, 1.0, jnp.float32),
+                      jnp.full(shape, float(1 << 24), jnp.float32),  # best_ord
+                      jnp.full(shape, -1.0, jnp.float32))            # kind
 
-        def fold(carry, t, ok, fr, gxp, gyp, gzp, mat, ordv, kindv):
-            (best_t, gx, gy, gz, front, m_type,
-             m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
-             best_ord, kind) = carry
-            # strict < with lowest-original-ordinal tie-break: primitives
-            # are Morton-sorted, so visit order no longer matches the
-            # reference's first-wins list order — the carried ordinal
-            # restores it (coplanar Cornell light/walls).
-            upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
-            sel = lambda a, b: jnp.where(upd, a, b)
-            return (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
-                    sel(gzp, gz), sel(fr, front), sel(mat[0], m_type),
-                    sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
-                    sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
-                    sel(mat[7], m_rough), sel(mat[8], m_ior),
-                    sel(ordv, best_ord), sel(kindv, kind))
+            def fold(carry, t, ok, fr, gxp, gyp, gzp, mat, ordv, kindv):
+                (best_t, gx, gy, gz, front, m_type,
+                 m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
+                 best_ord, kind) = carry
+                # strict < with lowest-original-ordinal tie-break: primitives
+                # are Morton-sorted, so visit order no longer matches the
+                # reference's first-wins list order — the carried ordinal
+                # restores it (coplanar Cornell light/walls).
+                upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
+                sel = lambda a, b: jnp.where(upd, a, b)
+                return (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
+                        sel(gzp, gz), sel(fr, front), sel(mat[0], m_type),
+                        sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
+                        sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
+                        sel(mat[7], m_rough), sel(mat[8], m_ior),
+                        sel(ordv, best_ord), sel(kindv, kind))
 
-        def slab_any_hit(ref, col, best_t):
-            """Scalar-AABB-vs-tile slab test: does ANY live lane hit the
-            box at better-than-best t?  Returns the scalar predicate.
-            Swap-insensitive in min/max (inverted boxes act swapped)."""
-            bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
-            bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
-            tx0 = (bx0 - ox) * inv_dx
-            tx1 = (bx1 - ox) * inv_dx
-            ty0 = (by0 - oy) * inv_dy
-            ty1 = (by1 - oy) * inv_dy
-            tz0 = (bz0 - oz) * inv_dz
-            tz1 = (bz1 - oz) * inv_dz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1))
-            hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) & alive_b
-            return jnp.sum(hit.astype(jnp.float32)) > 0.0
+            def slab_any_hit(ref, col, best_t):
+                """Scalar-AABB-vs-tile slab test: does ANY live lane hit the
+                box at better-than-best t?  Returns the scalar predicate.
+                Swap-insensitive in min/max (inverted boxes act swapped)."""
+                bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
+                bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
+                tx0 = (bx0 - ox) * inv_dx
+                tx1 = (bx1 - ox) * inv_dx
+                ty0 = (by0 - oy) * inv_dy
+                ty1 = (by1 - oy) * inv_dy
+                tz0 = (bz0 - oz) * inv_dz
+                tz1 = (bz1 - oz) * inv_dz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) & active_b
+                return jnp.sum(hit.astype(jnp.float32)) > 0.0
 
-        def tree_walk(tref, body, carry):
-            """Whole-tile lockstep walk of the threaded cluster-BVH
-            ((9, M) _cluster_tree layout).  The in-kernel analogue of the
-            reference's hardware BVH traversal (optixTrace bounce loop,
-            device_programs.cu:211-229), vectorized TPU-style: ONE scalar
-            cursor per tile; descend to the preorder child when ANY live
-            lane hits the node box at better-than-best t, else follow the
-            escape link; leaf hits run the primitive fold over the
-            cluster's [lo,hi) run.  Per-bounce cost is O(visited nodes),
-            ~O(k log N) for spatially coherent tiles, instead of the
-            linear scan's O(N/CLUSTER) slab tests."""
-            def wcond(st):
-                return st[0] >= 0
+            def tree_walk(tref, body, carry):
+                """Whole-tile lockstep walk of the threaded cluster-BVH
+                ((9, M) _cluster_tree layout).  The in-kernel analogue of the
+                reference's hardware BVH traversal (optixTrace bounce loop,
+                device_programs.cu:211-229), vectorized TPU-style: ONE scalar
+                cursor per tile; descend to the preorder child when ANY live
+                lane hits the node box at better-than-best t, else follow the
+                escape link; leaf hits run the primitive fold over the
+                cluster's [lo,hi) run.  Per-bounce cost is O(visited nodes),
+                ~O(k log N) for spatially coherent tiles, instead of the
+                linear scan's O(N/CLUSTER) slab tests."""
+                def wcond(st):
+                    return st[0] >= 0
 
-            def wbody(st):
-                node, carry = st
-                any_hit = slab_any_hit(tref, node, carry[0])
-                miss_l = tref[6, node].astype(jnp.int32)
-                lo_f = tref[7, node]
-                is_leaf = lo_f >= 0.0
+                def wbody(st):
+                    node, carry = st
+                    any_hit = slab_any_hit(tref, node, carry[0])
+                    miss_l = tref[6, node].astype(jnp.int32)
+                    lo_f = tref[7, node]
+                    is_leaf = lo_f >= 0.0
 
-                def do_leaf(c):
-                    lo = lo_f.astype(jnp.int32)
-                    hi = tref[8, node].astype(jnp.int32)
-                    return jax.lax.fori_loop(lo, hi, body, c)
+                    def do_leaf(c):
+                        lo = lo_f.astype(jnp.int32)
+                        hi = tref[8, node].astype(jnp.int32)
+                        return jax.lax.fori_loop(lo, hi, body, c)
 
-                carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
-                                     lambda c: c, carry)
-                node = jnp.where(any_hit & jnp.logical_not(is_leaf),
-                                 node + jnp.int32(1), miss_l)
-                return node, carry
+                    carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
+                                         lambda c: c, carry)
+                    node = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                                     node + jnp.int32(1), miss_l)
+                    return node, carry
 
-            _, carry = jax.lax.while_loop(wcond, wbody,
-                                          (jnp.int32(0), carry))
+                _, carry = jax.lax.while_loop(wcond, wbody,
+                                              (jnp.int32(0), carry))
+                return carry
+
+            def clustered(n, cl_ref, body, carry, csize=CLUSTER):
+                """Per-kind hierarchical cull.  Dispatches on the acceleration
+                table's static shape: (9, M) = threaded cluster-BVH lockstep
+                walk (leaf ranges come from the table); (6, n_cl) = linear
+                scan over csize-sized runs with one scalar-predicated slab
+                test each; tiny kinds skip culling."""
+                n_cl = max(1, -(-n // csize))
+                if cl_ref is None or n <= csize:
+                    return jax.lax.fori_loop(0, n, body, carry)
+
+                if cl_ref.shape[0] == 9:
+                    return tree_walk(cl_ref, body, carry)
+
+                def cl_body(ci, carry):
+                    pred = slab_any_hit(cl_ref, ci, carry[0])
+
+                    def do(carry):
+                        lo = ci * csize
+                        hi = jnp.minimum(lo + csize, n)
+                        return jax.lax.fori_loop(lo, hi, body, carry)
+
+                    return jax.lax.cond(pred, do, lambda c: c, carry)
+
+                return jax.lax.fori_loop(0, n_cl, cl_body, carry)
+
+            # --- spheres (shape.h:157-203 semantics)
+            def sph_body(j, carry):
+                g = sph_get(j)
+                cx = g(0); cy = g(1); cz = g(2)
+                r2 = g(3)
+                valid = g(4)
+                mat = mat_of(g(5))
+                ordv = g(6)
+                ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
+                b2 = dx * ocx + dy * ocy + dz * ocz
+                cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = b2 * b2 - cterm
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t_near = -b2 - sq
+                t_far = -b2 + sq
+                fr = (t_near >= t_min).astype(jnp.float32)
+                t = jnp.where(fr > 0, t_near, t_far)
+                ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
+                # Deferred normal: carry the center; normal = normalize(p - c)
+                # reconstructed after the fold.
+                return fold(carry, t, ok, fr, cx, cy, cz, mat, ordv,
+                            float(KIND_SPHERE))
+
+            sph_cl = cluster_refs[0] if cluster_refs else None
+            carry = clustered(n_sph, sph_cl, sph_body, carry0)
+
+            # --- quads (shape.h:213-239 baked to world space)
+            def quad_body(j, carry):
+                g = quad_get(j)
+                qnx = g(0); qny = g(1); qnz = g(2)
+                cn = g(3)
+                usx = g(4); usy = g(5); usz = g(6)
+                cu = g(7)
+                vsx = g(8); vsy = g(9); vsz = g(10)
+                cv = g(11)
+                valid = g(12)
+                mat = mat_of(g(13))
+                ordv = g(14)
+                dn = dx * qnx + dy * qny + dz * qnz
+                on = ox * qnx + oy * qny + oz * qnz
+                denom_ok = jnp.abs(dn) >= 1e-8
+                inv_dn = jnp.where(denom_ok, 1.0 / jnp.where(denom_ok, dn, 1.0), 0.0)
+                t = (cn - on) * inv_dn
+                a = (ox * usx + oy * usy + oz * usz) \
+                    + t * (dx * usx + dy * usy + dz * usz) - cu
+                b = (ox * vsx + oy * vsy + oz * vsz) \
+                    + t * (dx * vsx + dy * vsy + dz * vsz) - cv
+                ok = denom_ok & (t > t_min) & (t <= t_max) \
+                    & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
+                fr = (on - cn > 0.0).astype(jnp.float32)
+                # Deferred normal: raw unit plane normal; front-face sign is
+                # applied after the fold.
+                return fold(carry, t, ok, fr, qnx, qny, qnz, mat, ordv,
+                            float(KIND_QUAD))
+
+            quad_cl = cluster_refs[1] if cluster_refs else None
+            carry = clustered(n_quad, quad_cl, quad_body, carry)
+
+            # --- triangles (Moller-Trumbore via triple products; smooth normal
+            #     interpolated from barycentrics at test time, shape.h:262-303)
+            wx = oy * dz - oz * dy
+            wy = oz * dx - ox * dz
+            wz = ox * dy - oy * dx
+
+            def tri_body(j, carry):
+                g = tri_get(j)
+                ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
+                e1x, e1y, e1z = g(4), g(5), g(6)
+                e2x, e2y, e2z = g(7), g(8), g(9)
+                xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
+                pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
+                n0x, n0y, n0z = g(16), g(17), g(18)
+                n1x, n1y, n1z = g(19), g(20), g(21)
+                n2x, n2y, n2z = g(22), g(23), g(24)
+                valid = g(25)
+                mat = mat_of(g(26))
+                ordv = g(27)
+                div = -(dx * ngx + dy * ngy + dz * ngz)
+                div_ok = div != 0.0
+                inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
+                t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
+                b1 = ((wx * e2x + wy * e2y + wz * e2z)
+                      - (dx * xpx + dy * xpy + dz * xpz)) * inv
+                b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
+                       - (dx * pex + dy * pey + dz * pez)) * inv
+                ok = div_ok & (t >= t_min) & (t <= t_max) \
+                    & (b1 >= 0.0) & (b2_ >= 0.0) & (b1 + b2_ <= 1.0) \
+                    & (valid > 0)
+                b0 = 1.0 - b1 - b2_
+                inx = b0 * n0x + b1 * n1x + b2_ * n2x
+                iny = b0 * n0y + b1 * n1y + b2_ * n2y
+                inz = b0 * n0z + b1 * n1z + b2_ * n2z
+                back = (dx * inx + dy * iny + dz * inz) > 0.0
+                fr = jnp.where(back, 0.0, 1.0)
+                # Deferred normal: raw interpolated normal (unnormalized,
+                # unflipped — backface flip rides the front flag, shape.h:294-302).
+                return fold(carry, t, ok, fr, inx, iny, inz, mat, ordv,
+                            float(KIND_TRIANGLE))
+
+            tri_cl = cluster_refs[2] if cluster_refs else None
+            carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER)
+
             return carry
 
-        def clustered(n, cl_ref, body, carry):
-            """Per-kind hierarchical cull.  Dispatches on the acceleration
-            table's static shape: (9, M) = threaded cluster-BVH lockstep
-            walk; (6, n_cl) = linear scan over CLUSTER-sized runs with one
-            scalar-predicated slab test each; tiny kinds skip culling."""
-            n_cl = max(1, -(-n // CLUSTER))
-            if cl_ref is None or n <= CLUSTER:
-                return jax.lax.fori_loop(0, n, body, carry)
-
-            if cl_ref.shape[0] == 9:
-                return tree_walk(cl_ref, body, carry)
-
-            def cl_body(ci, carry):
-                pred = slab_any_hit(cl_ref, ci, carry[0])
-
-                def do(carry):
-                    lo = ci * CLUSTER
-                    hi = jnp.minimum(lo + CLUSTER, n)
-                    return jax.lax.fori_loop(lo, hi, body, carry)
-
-                return jax.lax.cond(pred, do, lambda c: c, carry)
-
-            return jax.lax.fori_loop(0, n_cl, cl_body, carry)
-
-        # --- spheres (shape.h:157-203 semantics)
-        def sph_body(j, carry):
-            g = sph_get(j)
-            cx = g(0); cy = g(1); cz = g(2)
-            r2 = g(3)
-            valid = g(4)
-            mat = mat_of(g(5))
-            ordv = g(6)
-            ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
-            b2 = dx * ocx + dy * ocy + dz * ocz
-            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = b2 * b2 - cterm
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_near = -b2 - sq
-            t_far = -b2 + sq
-            fr = (t_near >= t_min).astype(jnp.float32)
-            t = jnp.where(fr > 0, t_near, t_far)
-            ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
-            # Deferred normal: carry the center; normal = normalize(p - c)
-            # reconstructed after the fold.
-            return fold(carry, t, ok, fr, cx, cy, cz, mat, ordv,
-                        float(KIND_SPHERE))
-
-        sph_cl = cluster_refs[0] if cluster_refs else None
-        carry = clustered(n_sph, sph_cl, sph_body, carry0)
-
-        # --- quads (shape.h:213-239 baked to world space)
-        def quad_body(j, carry):
-            g = quad_get(j)
-            qnx = g(0); qny = g(1); qnz = g(2)
-            cn = g(3)
-            usx = g(4); usy = g(5); usz = g(6)
-            cu = g(7)
-            vsx = g(8); vsy = g(9); vsz = g(10)
-            cv = g(11)
-            valid = g(12)
-            mat = mat_of(g(13))
-            ordv = g(14)
-            dn = dx * qnx + dy * qny + dz * qnz
-            on = ox * qnx + oy * qny + oz * qnz
-            denom_ok = jnp.abs(dn) >= 1e-8
-            inv_dn = jnp.where(denom_ok, 1.0 / jnp.where(denom_ok, dn, 1.0), 0.0)
-            t = (cn - on) * inv_dn
-            a = (ox * usx + oy * usy + oz * usz) \
-                + t * (dx * usx + dy * usy + dz * usz) - cu
-            b = (ox * vsx + oy * vsy + oz * vsz) \
-                + t * (dx * vsx + dy * vsy + dz * vsz) - cv
-            ok = denom_ok & (t > t_min) & (t <= t_max) \
-                & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
-            fr = (on - cn > 0.0).astype(jnp.float32)
-            # Deferred normal: raw unit plane normal; front-face sign is
-            # applied after the fold.
-            return fold(carry, t, ok, fr, qnx, qny, qnz, mat, ordv,
-                        float(KIND_QUAD))
-
-        quad_cl = cluster_refs[1] if cluster_refs else None
-        carry = clustered(n_quad, quad_cl, quad_body, carry)
-
-        # --- triangles (Moller-Trumbore via triple products; smooth normal
-        #     interpolated from barycentrics at test time, shape.h:262-303)
-        wx = oy * dz - oz * dy
-        wy = oz * dx - ox * dz
-        wz = ox * dy - oy * dx
-
-        def tri_body(j, carry):
-            g = tri_get(j)
-            ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
-            e1x, e1y, e1z = g(4), g(5), g(6)
-            e2x, e2y, e2z = g(7), g(8), g(9)
-            xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
-            pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
-            n0x, n0y, n0z = g(16), g(17), g(18)
-            n1x, n1y, n1z = g(19), g(20), g(21)
-            n2x, n2y, n2z = g(22), g(23), g(24)
-            valid = g(25)
-            mat = mat_of(g(26))
-            ordv = g(27)
-            div = -(dx * ngx + dy * ngy + dz * ngz)
-            div_ok = div != 0.0
-            inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
-            t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
-            b1 = ((wx * e2x + wy * e2y + wz * e2z)
-                  - (dx * xpx + dy * xpy + dz * xpz)) * inv
-            b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
-                   - (dx * pex + dy * pey + dz * pez)) * inv
-            ok = div_ok & (t >= t_min) & (t <= t_max) \
-                & (b1 >= 0.0) & (b2_ >= 0.0) & (b1 + b2_ <= 1.0) \
-                & (valid > 0)
-            b0 = 1.0 - b1 - b2_
-            inx = b0 * n0x + b1 * n1x + b2_ * n2x
-            iny = b0 * n0y + b1 * n1y + b2_ * n2y
-            inz = b0 * n0z + b1 * n1z + b2_ * n2z
-            back = (dx * inx + dy * iny + dz * inz) > 0.0
-            fr = jnp.where(back, 0.0, 1.0)
-            # Deferred normal: raw interpolated normal (unnormalized,
-            # unflipped — backface flip rides the front flag, shape.h:294-302).
-            return fold(carry, t, ok, fr, inx, iny, inz, mat, ordv,
-                        float(KIND_TRIANGLE))
-
-        tri_cl = cluster_refs[2] if cluster_refs else None
-        carry = clustered(n_tri, tri_cl, tri_body, carry)
+        carry = closest_hit(ox, oy, oz, dx, dy, dz, alive_b)
 
         (best_t, gx, gy, gz, front, m_type,
          m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
@@ -642,12 +687,105 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         rg = rg + mw * tg * sky[1]
         rb = rb + mw * tb * sky[2]
 
-        # emission before the scatter test (material.h:119-132)
+        # emission before the scatter test (material.h:119-132); under
+        # NEE, suppressed when the previous bounce was diffuse (that
+        # vertex's light sample already owns this contribution).
         lit = alive_b & hit
-        lw = lit.astype(jnp.float32) * (m_type == MAT_EMISSIVE)
+        lw = lit.astype(jnp.float32) * (m_type == MAT_EMISSIVE) * emit_w
         rr = rr + lw * tr * m_er
         rg = rg + lw * tg * m_eg
         rb = rb + lw * tb * m_eb
+
+        if nee and n_lights > 0:
+            # ---------------- next-event estimation (ops/nee.py semantics,
+            # in-kernel): pick one light per lane, sample a direction,
+            # shadow-trace through the SAME closest-hit machinery, and add
+            # the analytic direct term for Lambertian vertices.
+            is_lam_n = m_type == MAT_LAMBERTIAN
+            u_l = _uniform01(rng_d, 5)
+            u_a = _uniform01(rng_d, 6)
+            u_b = _uniform01(rng_d, 7)
+            li = jnp.minimum((u_l * n_lights).astype(jnp.int32),
+                             n_lights - 1)
+
+            def sel_light(l, acc):
+                m = (li == l).astype(jnp.float32)
+                return tuple(p * (1.0 - m) + lights_ref[k, l] * m
+                             for k, p in enumerate(acc))
+
+            params = jax.lax.fori_loop(0, n_lights, sel_light,
+                                       (f0,) * 18)
+            (lkind, lord, lcx, lcy, lcz, lr,
+             lux, luy, luz, lvx, lvy, lvz,
+             lqx, lqy, lqz, ler, leg, leb) = params
+
+            # sphere light: uniform cone toward the sphere
+            tox = lcx - px; toy = lcy - py; toz = lcz - pz
+            dc2 = tox * tox + toy * toy + toz * toz
+            inv_dc = jax.lax.rsqrt(jnp.maximum(dc2, 1e-20))
+            axx = tox * inv_dc; axy = toy * inv_dc; axz = toz * inv_dc
+            sin2m = jnp.clip(lr * lr / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+            cosm = jnp.sqrt(jnp.maximum(1.0 - sin2m, 0.0))
+            cost = 1.0 - u_a * (1.0 - cosm)
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+            phi_l = TWO_PI * u_b
+            hsel = (jnp.abs(axx) > 0.9).astype(jnp.float32)
+            hx = 1.0 - hsel; hy = hsel
+            t1x = axy * 0.0 - axz * hy
+            t1y = axz * hx - axx * 0.0
+            t1z = axx * hy - axy * hx
+            t_il = jax.lax.rsqrt(jnp.maximum(
+                t1x * t1x + t1y * t1y + t1z * t1z, 1e-20))
+            t1x = t1x * t_il; t1y = t1y * t_il; t1z = t1z * t_il
+            t2x = axy * t1z - axz * t1y
+            t2y = axz * t1x - axx * t1z
+            t2z = axx * t1y - axy * t1x
+            cp = jnp.cos(phi_l) * sint
+            sp = jnp.sin(phi_l) * sint
+            wsx = axx * cost + t1x * cp + t2x * sp
+            wsy = axy * cost + t1y * cp + t2y * sp
+            wsz = axz * cost + t1z * cp + t2z * sp
+            pdf_s = 1.0 / jnp.maximum(TWO_PI * (1.0 - cosm), 1e-12)
+            s_ok = dc2 > lr * lr
+
+            # quad light: uniform area -> solid-angle pdf
+            a2 = 2.0 * u_a - 1.0
+            b2l = 2.0 * u_b - 1.0
+            qpx = lcx + a2 * lux + b2l * lvx - px
+            qpy = lcy + a2 * luy + b2l * lvy - py
+            qpz = lcz + a2 * luz + b2l * lvz - pz
+            dist2 = qpx * qpx + qpy * qpy + qpz * qpz
+            inv_dq = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+            wqx = qpx * inv_dq; wqy = qpy * inv_dq; wqz = qpz * inv_dq
+            crx = luy * lvz - luz * lvy
+            cry = luz * lvx - lux * lvz
+            crz = lux * lvy - luy * lvx
+            area = 4.0 * jnp.sqrt(jnp.maximum(
+                crx * crx + cry * cry + crz * crz, 0.0))
+            cosl = jnp.abs(wqx * lqx + wqy * lqy + wqz * lqz)
+            pdf_q = dist2 / jnp.maximum(cosl * area, 1e-12)
+            q_ok = cosl > 1e-6
+
+            is_sphl = lkind == float(KIND_SPHERE)
+            wix = jnp.where(is_sphl, wsx, wqx)
+            wiy = jnp.where(is_sphl, wsy, wqy)
+            wiz = jnp.where(is_sphl, wsz, wqz)
+            pdf_l = jnp.where(is_sphl, pdf_s, pdf_q) / float(n_lights)
+            ok_f = jnp.where(is_sphl, s_ok.astype(jnp.float32),
+                             q_ok.astype(jnp.float32))
+            cos_s = wix * nx + wiy * ny + wiz * nz
+            cand = (lit & is_lam_n & (cos_s > 0.0)
+                    & (ok_f > 0.5))
+
+            sh = closest_hit(px, py, pz, wix, wiy, wiz, cand)
+            vis = (sh[0] < BIG) & (sh[14] == lord)
+
+            w_l = (cos_s / (float(np.pi)
+                            * jnp.maximum(pdf_l, 1e-12))) \
+                * (cand & vis).astype(jnp.float32)
+            rr = rr + tr * m_ar * w_l * ler
+            rg = rg + tg * m_ag * w_l * leg
+            rb = rb + tb * m_ab * w_l * leb
 
         # RNG draws
         u1 = _uniform01(rng_d, 1)
@@ -744,6 +882,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         dy = jnp.where(cont, sy, dy)
         dz = jnp.where(cont, sz, dz)
 
+        if nee and n_lights > 0:
+            # Mark diffuse continuations: emission is suppressed at the
+            # NEXT vertex (alive == 2 encoding, see emit_w above).
+            cw = cw * jnp.where(is_lam, 2.0, 1.0)
+
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, cw)
 
     return bounce_step
@@ -754,12 +897,13 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 # ---------------------------------------------------------------------------
 
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
-                       sky, rr_depth=0, vmem_kinds=(False, False, False)):
+                       sky, rr_depth=0, vmem_kinds=(False, False, False),
+                       nee=False, n_lights=0):
     import jax.experimental.pallas as pl
 
     def kernel(seed_ref, pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
-               mats_ref, rr_ref, rg_ref, rb_ref):
+               mats_ref, lights_ref, rr_ref, rg_ref, rb_ref):
         shape = (rows, LANES)
         # Pixel-keyed RNG (not tile-position-keyed): the image is invariant
         # to ray ORDER, so Morton-permuted raygen, sharded pixel blocks and
@@ -775,7 +919,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             make_reader(sph_ref, vmem_kinds[0]),
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref)
+            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
+            lights_ref, nee, n_lights)
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -806,16 +951,17 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                     "interpret", "rr_depth", "vmem_kinds"))
+                     "interpret", "rr_depth", "vmem_kinds", "nee"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
                  sph_cl: jax.Array, quad_cl: jax.Array, tri_cl: jax.Array,
-                 mats: jax.Array, seed: jax.Array,
+                 mats: jax.Array, lights: jax.Array, seed: jax.Array,
                  rows: int, max_depth: int, t_min: float, t_max: float,
                  sky: Tuple[float, float, float],
                  interpret: bool = False, rr_depth: int = 0,
                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
+                 nee: bool = False,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance."""
@@ -835,11 +981,14 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     def tab_n(tab, vm):
         return int(tab.shape[0]) if vm else int(tab.shape[1])
 
+    # Callers pass nee=True only when the scene HAS samplable lights
+    # (lights is a traced array here — no value checks under jit).
+    n_lights = int(lights.shape[1]) if nee else 0
     kernel = _make_trace_kernel(rows, max_depth, t_min, t_max,
                                 tab_n(sph_tab, vmem_kinds[0]),
                                 tab_n(quad_tab, vmem_kinds[1]),
                                 tab_n(tri_tab, vmem_kinds[2]),
-                                sky, rr_depth, vmem_kinds)
+                                sky, rr_depth, vmem_kinds, nee, n_lights)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -854,13 +1003,14 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 7, *tab_specs, smem, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 7, *tab_specs,
+                  smem, smem, smem, smem, smem],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
         interpret=interp,
     )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats)
+      mats, lights)
 
     rr, rg, rb = out
     return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
@@ -873,14 +1023,15 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
 
 def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          n_tri, sky, rr_depth=0,
-                         vmem_kinds=(False, False, False)):
+                         vmem_kinds=(False, False, False),
+                         nee=False, n_lights=0):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
                pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
+               tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref, al_ref,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
-               mats_ref,
+               mats_ref, lights_ref,
                oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
                rro, rgo, rbo, alive_o):
         tile = pl.program_id(0)
@@ -893,7 +1044,10 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
         row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         slot = in_queue_start + row_id * jnp.int32(LANES) + lane_id
-        in_q = (slot < count).astype(jnp.float32)
+        # Queue prefix is alive (compacted); the INCOMING alive plane
+        # carries the NEE no-emit encoding (1 = emit allowed, 2 =
+        # previous bounce was diffuse) across segment boundaries.
+        in_q = jnp.where(slot < count, al_ref[:], 0.0)
 
         # Pixel-keyed RNG: compaction/sort order cannot change the image.
         rng_base = _pcg_hash(
@@ -905,7 +1059,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             make_reader(sph_ref, vmem_kinds[0]),
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref)
+            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
+            lights_ref, nee, n_lights)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -936,17 +1091,19 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
 
 
 def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
-                   sph_cl, quad_cl, tri_cl, mats, scalars,
+                   sph_cl, quad_cl, tri_cl, mats, lights, scalars,
                    rows: int, n_bounces: int, t_min: float, t_max: float,
                    sky: Tuple[float, float, float],
                    interpret: bool = False, rr_depth: int = 0,
-                   vmem_kinds: Tuple[bool, bool, bool] = (False, False, False)):
+                   vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
+                   nee: bool = False):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
-    pix: (R,) f32 pixel ids; o9: tuple of 12 (R,) f32 planes
-    (ox,oy,oz,dx,dy,dz,tr,tg,tb,rr,rg,rb) — radiance rides the state and
-    is accumulated IN kernel (one end-of-frame scatter instead of one per
-    segment); scalars: (3,) i32 [seed, depth0, count].
+    pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
+    (ox,oy,oz,dx,dy,dz,tr,tg,tb,rr,rg,rb,alive) — radiance rides the
+    state and is accumulated IN kernel (one end-of-frame scatter instead
+    of one per segment); the alive plane carries the NEE no-emit flag
+    (alive==2) across segments; scalars: (3,) i32 [seed, depth0, count].
     Returns (new 12 planes, alive (R,) f32).
     RNG is keyed on (pixel id, absolute depth), so any permutation of the
     queue between segments leaves the image bit-identical."""
@@ -968,11 +1125,12 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
     def tab_n(tab, vm):
         return int(tab.shape[0]) if vm else int(tab.shape[1])
 
+    n_lights = int(lights.shape[1]) if nee else 0
     kernel = _make_segment_kernel(rows, n_bounces, t_min, t_max,
                                   tab_n(sph_tab, vmem_kinds[0]),
                                   tab_n(quad_tab, vmem_kinds[1]),
                                   tab_n(tri_tab, vmem_kinds[2]),
-                                  sky, rr_depth, vmem_kinds)
+                                  sky, rr_depth, vmem_kinds, nee, n_lights)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -984,13 +1142,14 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, *[ray_spec] * 13, *tab_specs, smem, smem, smem, smem],
+        in_specs=[smem, *[ray_spec] * 14, *tab_specs,
+                  smem, smem, smem, smem, smem],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats)
+      mats, lights)
 
     flat = [p.reshape(r) for p in out]
     return flat[:12], flat[12]

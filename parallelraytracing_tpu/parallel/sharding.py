@@ -123,14 +123,15 @@ def render_frame_sharded_fused(
     """Multi-chip frame through the fused Pallas kernel: each ("px","spp")
     device runs the VMEM-resident megakernel on its pixel block, sample
     streams psum over ICI.  scene_tables = pack_scene_tables output + sky
-    tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, sky, vmem_kinds).
+    tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
+    vmem_kinds).
 
     The per-device block must be a multiple of rows*128 rays."""
     from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_trace
     from parallelraytracing_tpu.ops.rays import generate_camera_rays_flat
 
-    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, sky, vmem_kinds = \
-        scene_tables
+    (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
+     vmem_kinds) = scene_tables
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
     r = cfg.pixel_count
@@ -138,7 +139,8 @@ def render_frame_sharded_fused(
     blk = -(-r // n_px)
     blk += (-blk) % tile  # per-device block must tile evenly
 
-    def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, cam, k):
+    def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
+                   cam, k):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")
         dev_key = jax.random.fold_in(jax.random.fold_in(k, px_i), spp_i)
@@ -151,16 +153,16 @@ def render_frame_sharded_fused(
             .astype(jnp.float32)
         seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
         rad = pallas_trace(o, d, pix, sph, quad, tri, sph_cl, quad_cl,
-                           tri_cl, mats, seed, rows, cfg.max_depth,
+                           tri_cl, mats, lights, seed, rows, cfg.max_depth,
                            cfg.t_min, cfg.t_max,
                            sky, interpret=interpret, vmem_kinds=vmem_kinds)
         return jax.lax.psum(rad, axis_name="spp")
 
     shard = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(),) * 9,
+        in_specs=(P(),) * 10,
         out_specs=P("px", None),
         check_vma=False)
-    out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, cam_params,
-                key)
+    out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
+                cam_params, key)
     return out[:r] / n_spp

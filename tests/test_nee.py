@@ -51,3 +51,24 @@ def test_nee_bvh_matches_megakernel_stream():
     a = render(ScenePreset.CORNELL, nee=True, frames=4, engine="megakernel")
     b = render(ScenePreset.CORNELL, nee=True, frames=4, engine="bvh")
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_in_kernel_nee_fused_unbiased():
+    # The Pallas engines run their own in-kernel NEE (pallas_trace.py);
+    # same estimator, different RNG stream: means agree with the jnp
+    # NEE render and with the converged plain truth.
+    truth = render(ScenePreset.CORNELL, nee=False, frames=96)
+    f = render(ScenePreset.CORNELL, nee=True, frames=8, engine="fused")
+    assert abs(f.mean() - truth.mean()) / max(truth.mean(), 1e-6) < 0.06
+    plain = render(ScenePreset.CORNELL, nee=False, frames=8, seed=1,
+                   engine="fused")
+    rmse_plain = float(np.sqrt(np.mean((plain - truth) ** 2)))
+    rmse_nee = float(np.sqrt(np.mean((f - truth) ** 2)))
+    assert rmse_nee < 0.6 * rmse_plain, (rmse_nee, rmse_plain)
+
+
+def test_in_kernel_nee_wavefront_fused_bitmatches_fused():
+    a = render(ScenePreset.CORNELL, nee=True, frames=3, engine="fused")
+    b = render(ScenePreset.CORNELL, nee=True, frames=3,
+               engine="wavefront_fused")
+    assert np.array_equal(a, b)

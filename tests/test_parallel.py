@@ -94,9 +94,12 @@ def test_sharded_fused_kernel_runs_on_mesh():
 
     cfg = small_cfg(width=64, height=32, max_depth=4)
     scene = Scene(ScenePreset.MATERIAL_TEST).build()
+    from parallelraytracing_tpu.ops.pallas_trace import pack_lights_table
     tabs = pack_scene_tables(scene)
     sky = tuple(float(x) for x in np.asarray(scene.sky))
-    tables = (*[jnp.asarray(t) for t in tabs], sky, (False, False, False))
+    tables = (*[jnp.asarray(t) for t in tabs],
+              jnp.asarray(pack_lights_table(scene)), sky,
+              (False, False, False))
     cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
     mesh = make_render_mesh(spp_axis=2)
     out = render_frame_sharded_fused(tables, cam, jax.random.PRNGKey(0),
