@@ -76,11 +76,11 @@ def main() -> None:
     for seg in (2, 4, 7):
         run("balls", "wavefront_fused", balls, cam_b, cfg, segment=seg)
     run("balls", "wavefront_fused", balls, cam_b, cfg, segment=4,
-        sort_rays=False)
+        sort_rays="")
     for seg in (2, 4):
         run("bunny", "wavefront_fused", bunny, cam_m, cfg, segment=seg)
     run("bunny", "wavefront_fused", bunny, cam_m, cfg, segment=2,
-        sort_rays=False)
+        sort_rays="")
 
 
 if __name__ == "__main__":

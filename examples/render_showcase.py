@@ -56,6 +56,28 @@ def main():
     render("cornell", Scene(ScenePreset.CORNELL),
            default_camera(256, 256), fast, 256, 256, 64)
 
+    # Cornell with next-event estimation: converges in a fraction of the
+    # frames (in-kernel NEE on TPU, jnp NEE on cpu).
+    def render_nee(name, scene, cam, engine, w, h, frames, depth=10):
+        w, h, frames = int(w * scale), int(h * scale), max(2, int(frames * scale))
+        cfg = RenderConfig(width=w, height=h, max_depth=depth, seed=0,
+                           nee=True)
+        film = Film(w, h)
+        r = create_renderer(engine)
+        t0 = time.time()
+        r.init(film, scene, cam, cfg)
+        for _ in range(frames):
+            r.progressive_render()
+        device_sync(film.accum)
+        dt = time.time() - t0
+        path = os.path.join(OUT, f"{name}.png")
+        film.save_png(path)
+        print(f"{name:24s} {engine:10s} {w}x{h} {frames}f "
+              f"{dt:6.1f}s -> {path}", flush=True)
+
+    render_nee("cornell_nee_8spp", Scene(ScenePreset.CORNELL),
+               default_camera(256, 256), fast, 256, 256, 8)
+
     # Material test (the BSDF fixture, scene.cpp:307-330)
     render("material_test", Scene(ScenePreset.MATERIAL_TEST),
            default_camera(512, 288), fast, 512, 288, 64)
@@ -77,7 +99,7 @@ def main():
     eye = np.array([0.0, 14.0, 28.0])
     look = np.array([0.0, 7.0, 0.0])
     render("bunny", s, Camera(eye, look - eye, 512, 512),
-           fast if on_tpu else "bvh", 512, 512, 8, depth=6)
+           "wavefront_fused" if on_tpu else "bvh", 512, 512, 8, depth=6)
 
     # BASELINE config 3-ish: dragon with specular + dielectric
     mesh = load_ply("/root/reference/assets/models/dragon.ply")
@@ -93,7 +115,33 @@ def main():
     eye = np.array([0.0, 16.0, 32.0])
     look = np.array([0.0, 8.0, 0.0])
     render("dragon", s, Camera(eye, look - eye, 512, 512),
-           fast if on_tpu else "bvh", 512, 512, 8, depth=8)
+           "wavefront_fused" if on_tpu else "bvh", 512, 512, 8, depth=8)
+
+    # BASELINE config 4: multi-mesh scene through TRUE TLAS/BLAS
+    # instancing — geometry memory proportional to unique meshes (the
+    # bunny + icosahedron BLASes are stored once; 7 instances).
+    ico = load_ply("/root/reference/assets/models/icosahedron.ply")
+    bun = load_ply("/root/reference/assets/models/bunny.ply")
+    s = Scene(preset=None)
+    body = s.add_lambertian((0.7, 0.6, 0.45))
+    s.add_mesh_instances(bun, body, [((6, 6, 6), (0, 160, 0), (0, 6, 0)),
+                                     ((3, 3, 3), (0, 40, 0), (-12, 3, 6))])
+    glass = s.add_dielectric(1.5)
+    red = s.add_lambertian((0.8, 0.15, 0.1))
+    s.add_mesh_instances(ico, glass,
+                         [((2.5,) * 3, (0, 30 * i, 0), (9 + 2.5 * i, 2.5,
+                                                        8 - 3.0 * i))
+                          for i in range(3)])
+    s.add_mesh_instances(ico, red, [((2,) * 3, (0, 15, 25), (-9, 2, 12)),
+                                    ((1.5,) * 3, (30, 0, 0), (4, 1.5, 14))])
+    ground = s.add_lambertian((0.5, 0.5, 0.52))
+    s.add_quad(120, 120, ground, None)
+    light = s.add_emissive((11, 11, 10))
+    s.add_sphere(3.5, light, ((1, 1, 1), (0, 0, 0), (14, 26, 14)))
+    eye = np.array([0.0, 12.0, 30.0])
+    look = np.array([0.0, 5.0, 0.0])
+    render("multimesh_tlas", s, Camera(eye, look - eye, 512, 288),
+           "tlas", 512, 288, 8, depth=6)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="sample pixel centers (reference CPU/CUDA behavior)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation: sample emissive lights "
-                        "directly at diffuse hits (megakernel/bvh engines; "
+                        "directly at diffuse hits (megakernel/bvh jnp "
+                        "engines and in-kernel in fused/wavefront_fused; "
                         "much lower variance on emissive-lit scenes)")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))

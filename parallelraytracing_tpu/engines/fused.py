@@ -70,9 +70,6 @@ class FusedRenderer(Renderer):
     #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
     rows: int = int(os.environ.get("PRT_ROWS", "16"))
 
-    #: SMEM capacity guard: scene tables must fit scalar memory.
-    max_table_bytes: int = 1 << 19
-
     #: per-kind primitive count above which the table moves from SMEM
     #: scalar layout to VMEM row layout (dynamic-sublane reads).
     vmem_threshold: int = 2048

@@ -65,6 +65,24 @@ def _origin_morton(ox, oy, oz, bb_lo, inv_ext):
         | _part1by2(q(oz, bb_lo[2], inv_ext[2]))
 
 
+def _sort_key(state, bb_lo, inv_ext, mode: str):
+    """Coherence key for the between-segment re-sort.
+
+    "origin": 30-bit Morton of the ray origin (scene-bbox quantized).
+    "octant": direction octant (3 bits) majoring over 27 origin-Morton
+    bits — rays grouped by WHERE they are and WHICH WAY they point, the
+    joint locality the whole-tile any-lane-hit test actually needs."""
+    ox, oy, oz, dx, dy, dz = state[0], state[1], state[2], \
+        state[3], state[4], state[5]
+    m = _origin_morton(ox, oy, oz, bb_lo, inv_ext)
+    if mode == "origin":
+        return m
+    oct_ = ((dx < 0).astype(jnp.int32) << 2) \
+        | ((dy < 0).astype(jnp.int32) << 1) \
+        | (dz < 0).astype(jnp.int32)
+    return (oct_ << 27) | (m >> 3)
+
+
 @partial(jax.jit,
          static_argnames=("rows", "segment", "max_depth", "t_min", "t_max",
                           "sky", "bb", "interpret", "rr_depth",
@@ -75,7 +93,7 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
                     t_min: float, t_max: float, sky, bb,
                     interpret: bool = False, rr_depth: int = 0,
                     vmem_kinds=(False, False, False),
-                    sort_rays: bool = True, nee: bool = False):
+                    sort_rays: str = "octant", nee: bool = False):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
@@ -120,8 +138,7 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
             # 10x slower (benchmarks/RESULTS.md).
             alive_b = alive > 0.0
             if sort_rays:
-                key = _origin_morton(state[0], state[1], state[2],
-                                     bb_lo, inv_ext)
+                key = _sort_key(state, bb_lo, inv_ext, sort_rays)
             else:
                 key = jnp.arange(rp, dtype=jnp.int32)
             key = jnp.where(alive_b, key, jnp.int32(2**30))
@@ -209,8 +226,11 @@ class WavefrontFusedRenderer(Renderer):
     #: bounces per Pallas kernel invocation between compaction/sorts.
     segment: int = int(os.environ.get("PRT_SEGMENT", "4"))
 
-    #: re-sort survivors by origin Morton code between segments.
-    sort_rays: bool = os.environ.get("PRT_SORT", "1") != "0"
+    #: between-segment re-sort key: "octant" (direction octant major,
+    #: origin Morton minor — the default), "origin", or "" (compact only).
+    sort_rays: str = {"0": "", "none": "", "1": "octant"}.get(
+        os.environ.get("PRT_SORT", "octant"),
+        os.environ.get("PRT_SORT", "octant"))
 
     accel: str = os.environ.get("PRT_TRAVERSAL", "auto")
     vmem_threshold: int = 2048

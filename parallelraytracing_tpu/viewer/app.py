@@ -333,7 +333,9 @@ def make_handler(state: ViewerState):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="interactive viewer")
     p.add_argument("--scene", default="material_test")
-    p.add_argument("--engine", default="bvh")
+    p.add_argument("--engine", default="fused",
+                   help="initial engine (fused = the Pallas megakernel; "
+                        "switchable live in the UI)")
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--depth", type=int, default=10)

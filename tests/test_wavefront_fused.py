@@ -31,11 +31,11 @@ CFG = RenderConfig(width=64, height=32, max_depth=6, seed=3,
 
 
 def test_sort_is_bit_invariant():
-    a = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
-               rows=2, segment=2, sort_rays=True)
-    b = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
-               rows=2, segment=2, sort_rays=False)
-    assert np.array_equal(a, b), "re-sorting rays changed the image"
+    imgs = [render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG,
+                   frames=2, rows=2, segment=2, sort_rays=mode)
+            for mode in ("octant", "origin", "")]
+    assert np.array_equal(imgs[0], imgs[1]), "sort key changed the image"
+    assert np.array_equal(imgs[0], imgs[2]), "re-sorting changed the image"
 
 
 def test_segment_size_is_bit_invariant():
