@@ -30,8 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cornell, random_balls_{small,medium,large})")
     p.add_argument("--ply", default=None,
                    help="render a PLY mesh instead of a preset")
-    p.add_argument("--engine", default="bvh",
-                   help="megakernel | wavefront | bvh")
+    p.add_argument("--engine", default="auto",
+                   help="auto (platform/scene-aware) | megakernel | "
+                        "wavefront | bvh | wavefront_bvh | fused | "
+                        "wavefront_fused | tlas")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--frames", type=int, default=16,
@@ -127,6 +129,18 @@ def main(argv=None) -> int:
     else:
         film = Film(args.width, args.height)
         start_frame = 0
+
+    if args.engine == "auto":
+        # Pick by platform and scene shape (measured optima, RESULTS.md):
+        # Pallas engines on TPU (segmented wavefront for triangle-heavy
+        # scenes, fused otherwise); jnp engines elsewhere (the Pallas
+        # interpreter is slow off-TPU).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        tri_heavy = scene.num_primitives > 0 and len(scene._tri) > 512
+        if on_tpu:
+            args.engine = "wavefront_fused" if tri_heavy else "fused"
+        else:
+            args.engine = "bvh" if tri_heavy else "megakernel"
 
     renderer = create_renderer(args.engine)
     renderer.init(film, scene, cam, cfg)

@@ -104,9 +104,28 @@ class FusedRenderer(Renderer):
     def _pack_tables(self) -> None:
         from parallelraytracing_tpu.ops.nee import extract_lights
         from parallelraytracing_tpu.ops.pallas_trace import (
-            pack_lights_table, to_vmem_rows)
+            pack_instance_tables, pack_lights_table, to_vmem_rows)
         eye = self._camera.position if self.front_to_back else None
-        host_scene = jax.device_get(self._scene_data)
+        if getattr(self._scene, "instances", None):
+            # In-kernel TLAS/BLAS: trace instances natively instead of
+            # rendering the baked copy — geometry memory ∝ unique meshes.
+            base = self._scene.build(bake_instances=False)
+            self._scene_data = jax.device_put(base)
+            host_scene = jax.device_get(base)
+            ord_base = float(host_scene.sph_valid.shape[0]
+                             + host_scene.quad_valid.shape[0]
+                             + host_scene.tri_valid.shape[0])
+            itri, iacc, ibox, inst = pack_instance_tables(
+                self._scene._inst_meshes, self._scene.instances, ord_base)
+            self._itri_vmem = itri.shape[1] > self.vmem_threshold
+            if self._itri_vmem:
+                itri = to_vmem_rows(itri)
+            self._inst = tuple(jax.device_put(jnp.asarray(a))
+                               for a in (itri, iacc, ibox, inst))
+        else:
+            host_scene = jax.device_get(self._scene_data)
+            self._inst = None
+            self._itri_vmem = False
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
             host_scene, accel=self.accel, eye=eye)
         self._nee = bool(self.config.nee
@@ -165,7 +184,8 @@ class FusedRenderer(Renderer):
                                interpret=self._interpret,
                                rr_depth=cfg.russian_roulette_depth,
                                vmem_kinds=self._vmem_kinds,
-                               nee=self._nee)[:r]
+                               nee=self._nee, inst=self._inst,
+                               itri_vmem=self._itri_vmem)[:r]
             if self._inv is not None:
                 rad = jnp.take(rad, self._inv, axis=0)
             acc = rad if acc is None else acc + rad

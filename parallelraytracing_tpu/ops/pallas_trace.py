@@ -363,6 +363,95 @@ def pack_lights_table(scene: SceneData) -> np.ndarray:
         np.asarray(L.emit, np.float32).T], axis=0)
 
 
+def pack_instance_tables(inst_meshes, instances, ord_base: float):
+    """Host tables for in-kernel TLAS/BLAS instancing.
+
+    inst_meshes: unique Mesh objects; instances: (mesh_index, material_id,
+    4x4 world transform) records (Scene.instances); ord_base: first free
+    global ordinal (tie-break ids beyond every flat primitive).
+
+    Returns (itri (26, Nt), iacc (9, Mb), ibox (6, Ni), inst (24, Ni)):
+    - itri: LOCAL-space triangle geometry concatenated across unique
+      meshes, Morton-sorted in TRI_CLUSTER runs per mesh
+      [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3) valid];
+    - iacc: per-mesh threaded cluster-BVHs over the local triangles,
+      concatenated with GLOBAL links (miss -1 exits back to the TLAS);
+    - ibox: instance world AABBs (transformed local root corners);
+    - inst: per instance [blas root, world->local affine (12, row-major
+      3x4), local-normal->world matrix (9 = inv^T linear), material id,
+      ordinal base]."""
+    from parallelraytracing_tpu.accel.tlas import _mesh_local_arrays
+
+    itri_cols = []
+    iacc_cols = []
+    mesh_root = []
+    mesh_bbox = []
+    mesh_ntri = []
+    node_off = 0
+    tri_off = 0
+    for mesh in inst_meshes:
+        v0, v1, v2, n0, n1, n2 = (a.astype(np.float64)
+                                  for a in _mesh_local_arrays(mesh))
+        mn = np.minimum(np.minimum(v0, v1), v2)
+        mx = np.maximum(np.maximum(v0, v1), v2)
+        cen = (mn + mx) * 0.5
+        lo = cen.min(0)
+        ext = np.maximum(cen.max(0) - lo, 1e-12)
+        from parallelraytracing_tpu.accel.lbvh import morton3d
+        order = np.argsort(morton3d((cen - lo) / ext), kind="stable")
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        n0, n1, n2 = n0[order], n1[order], n2[order]
+        mn, mx = mn[order], mx[order]
+        e1 = v1 - v0
+        e2 = v2 - v0
+        ng = np.cross(e1, e2)
+        p0ng = (v0 * ng).sum(1)
+        e2xp0 = np.cross(e2, v0)
+        p0xe1 = np.cross(v0, e1)
+        nt = len(v0)
+        tab = np.concatenate([
+            ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
+            n0.T, n1.T, n2.T, np.ones((1, nt))], axis=0).astype(np.float32)
+        cl = _cluster_bounds(mn, mx, TRI_CLUSTER)
+        tree = _cluster_tree(cl, nt, TRI_CLUSTER)
+        # globalize links: leaf ranges shift by tri_off, miss by node_off
+        # (-1 stays -1 = exit the BLAS).
+        tree = tree.copy()
+        tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
+        leaf = tree[7] >= 0
+        tree[7, leaf] += tri_off
+        tree[8, leaf] += tri_off
+        itri_cols.append(tab)
+        iacc_cols.append(tree)
+        mesh_root.append(node_off)
+        mesh_bbox.append((mn.min(0), mx.max(0)))
+        mesh_ntri.append(nt)
+        node_off += tree.shape[1]
+        tri_off += nt
+
+    itri = np.ascontiguousarray(np.concatenate(itri_cols, axis=1))
+    iacc = np.ascontiguousarray(np.concatenate(iacc_cols, axis=1))
+
+    ibox = np.zeros((6, len(instances)), np.float32)
+    inst = np.zeros((24, len(instances)), np.float32)
+    for k, (mi, mid, m4) in enumerate(instances):
+        m4 = np.asarray(m4, np.float64)
+        inv = np.linalg.inv(m4)
+        lo, hi = mesh_bbox[mi]
+        corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1])
+                            for z in (lo[2], hi[2])])
+        wc = corners @ m4[:3, :3].T + m4[:3, 3]
+        ibox[:3, k] = wc.min(0)
+        ibox[3:, k] = wc.max(0)
+        inst[0, k] = mesh_root[mi]
+        inst[1:13, k] = inv[:3, :4].reshape(-1)
+        inst[13:22, k] = inv[:3, :3].T.reshape(-1)
+        inst[22, k] = mid
+        inst[23, k] = ord_base + k * tri_off  # tri_off = total local tris
+    return itri, iacc, ibox, inst
+
+
 # ---------------------------------------------------------------------------
 # RNG: stateless PCG on per-lane counters.
 # ---------------------------------------------------------------------------
@@ -406,7 +495,9 @@ def make_reader(ref, vmem_rows: bool):
 def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       sph_get, quad_get, tri_get, rr_depth: int = 0,
                       cluster_refs=None, mats_ref=None, lights_ref=None,
-                      nee: bool = False, n_lights: int = 0):
+                      nee: bool = False, n_lights: int = 0,
+                      inst_refs=None, n_inst: int = 0,
+                      itri_vmem: bool = False):
     f0 = jnp.zeros(shape, jnp.float32)
 
     def mat_of(mid):
@@ -466,28 +557,34 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                         sel(mat[7], m_rough), sel(mat[8], m_ior),
                         sel(ordv, best_ord), sel(kindv, kind))
 
-            def slab_any_hit(ref, col, best_t):
-                """Scalar-AABB-vs-tile slab test: does ANY live lane hit the
-                box at better-than-best t?  Returns the scalar predicate.
-                Swap-insensitive in min/max (inverted boxes act swapped)."""
-                bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
-                bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
-                tx0 = (bx0 - ox) * inv_dx
-                tx1 = (bx1 - ox) * inv_dx
-                ty0 = (by0 - oy) * inv_dy
-                ty1 = (by1 - oy) * inv_dy
-                tz0 = (bz0 - oz) * inv_dz
-                tz1 = (bz1 - oz) * inv_dz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                             jnp.minimum(ty0, ty1)),
-                                 jnp.minimum(tz0, tz1))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                             jnp.maximum(ty0, ty1)),
-                                 jnp.maximum(tz0, tz1))
-                hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) & active_b
-                return jnp.sum(hit.astype(jnp.float32)) > 0.0
+            def make_slab(sox, soy, soz, six, siy, siz):
+                """Scalar-AABB-vs-tile slab test for a given ray set: does
+                ANY live lane hit the box at better-than-best t?  Returns
+                the scalar predicate.  Swap-insensitive in min/max
+                (inverted boxes act swapped)."""
+                def slab(ref, col, best_t):
+                    bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
+                    bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
+                    tx0 = (bx0 - sox) * six
+                    tx1 = (bx1 - sox) * six
+                    ty0 = (by0 - soy) * siy
+                    ty1 = (by1 - soy) * siy
+                    tz0 = (bz0 - soz) * siz
+                    tz1 = (bz1 - soz) * siz
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                                 jnp.minimum(ty0, ty1)),
+                                     jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                                 jnp.maximum(ty0, ty1)),
+                                     jnp.maximum(tz0, tz1))
+                    hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) \
+                        & active_b
+                    return jnp.sum(hit.astype(jnp.float32)) > 0.0
+                return slab
 
-            def tree_walk(tref, body, carry):
+            slab_any_hit = make_slab(ox, oy, oz, inv_dx, inv_dy, inv_dz)
+
+            def tree_walk(tref, body, carry, slab=None, start=0):
                 """Whole-tile lockstep walk of the threaded cluster-BVH
                 ((9, M) _cluster_tree layout).  The in-kernel analogue of the
                 reference's hardware BVH traversal (optixTrace bounce loop,
@@ -501,9 +598,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 def wcond(st):
                     return st[0] >= 0
 
+                slab = slab or slab_any_hit
+
                 def wbody(st):
                     node, carry = st
-                    any_hit = slab_any_hit(tref, node, carry[0])
+                    any_hit = slab(tref, node, carry[0])
                     miss_l = tref[6, node].astype(jnp.int32)
                     lo_f = tref[7, node]
                     is_leaf = lo_f >= 0.0
@@ -519,8 +618,9 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                                      node + jnp.int32(1), miss_l)
                     return node, carry
 
-                _, carry = jax.lax.while_loop(wcond, wbody,
-                                              (jnp.int32(0), carry))
+                _, carry = jax.lax.while_loop(
+                    wcond, wbody,
+                    (jnp.int32(0) + start, carry))
                 return carry
 
             def clustered(n, cl_ref, body, carry, csize=CLUSTER):
@@ -649,6 +749,104 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
             tri_cl = cluster_refs[2] if cluster_refs else None
             carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER)
+
+            if inst_refs is not None and n_inst > 0:
+                # ---- instanced meshes (in-kernel TLAS/BLAS, the role of
+                # the reference's IAS-over-GAS, optix/renderer.cpp:833-870):
+                # a linear scan over instance world AABBs (instances are
+                # few); on entry the TILE's rays transform into mesh-local
+                # space by the inverse affine WITHOUT renormalizing (local
+                # t == world t) and walk that mesh's cluster-BVH over
+                # LOCAL triangles.  Geometry memory ∝ unique meshes.
+                itri_ref, iacc_ref, ibox_ref, inst_ref = inst_refs
+                itri_get = make_reader(itri_ref, itri_vmem)
+
+                def inst_body(ii, carry):
+                    pred = slab_any_hit(ibox_ref, ii, carry[0])
+
+                    def enter(carry):
+                        gi = lambda k: inst_ref[k, ii]
+                        root = gi(0).astype(jnp.int32)
+                        i00, i01, i02, i03 = gi(1), gi(2), gi(3), gi(4)
+                        i10, i11, i12, i13 = gi(5), gi(6), gi(7), gi(8)
+                        i20, i21, i22, i23 = gi(9), gi(10), gi(11), gi(12)
+                        m00, m01, m02 = gi(13), gi(14), gi(15)
+                        m10, m11, m12 = gi(16), gi(17), gi(18)
+                        m20, m21, m22 = gi(19), gi(20), gi(21)
+                        mat = mat_of(gi(22))
+                        ord_base = gi(23)
+
+                        lox = i00 * ox + i01 * oy + i02 * oz + i03
+                        loy = i10 * ox + i11 * oy + i12 * oz + i13
+                        loz = i20 * ox + i21 * oy + i22 * oz + i23
+                        ldx = i00 * dx + i01 * dy + i02 * dz
+                        ldy = i10 * dx + i11 * dy + i12 * dz
+                        ldz = i20 * dx + i21 * dy + i22 * dz
+                        eps_ = 1e-20
+                        lix = 1.0 / jnp.where(jnp.abs(ldx) < eps_,
+                                              jnp.where(ldx < 0, -eps_,
+                                                        eps_), ldx)
+                        liy = 1.0 / jnp.where(jnp.abs(ldy) < eps_,
+                                              jnp.where(ldy < 0, -eps_,
+                                                        eps_), ldy)
+                        liz = 1.0 / jnp.where(jnp.abs(ldz) < eps_,
+                                              jnp.where(ldz < 0, -eps_,
+                                                        eps_), ldz)
+                        l_slab = make_slab(lox, loy, loz, lix, liy, liz)
+                        lwx = loy * ldz - loz * ldy
+                        lwy = loz * ldx - lox * ldz
+                        lwz = lox * ldy - loy * ldx
+
+                        def itri_body(j, carry):
+                            g = itri_get(j)
+                            ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
+                            e1x, e1y, e1z = g(4), g(5), g(6)
+                            e2x, e2y, e2z = g(7), g(8), g(9)
+                            xpx, xpy, xpz = g(10), g(11), g(12)
+                            pex, pey, pez = g(13), g(14), g(15)
+                            n0x, n0y, n0z = g(16), g(17), g(18)
+                            n1x, n1y, n1z = g(19), g(20), g(21)
+                            n2x, n2y, n2z = g(22), g(23), g(24)
+                            valid = g(25)
+                            div = -(ldx * ngx + ldy * ngy + ldz * ngz)
+                            div_ok = div != 0.0
+                            inv = jnp.where(
+                                div_ok,
+                                1.0 / jnp.where(div_ok, div, 1.0), 0.0)
+                            t = (lox * ngx + loy * ngy + loz * ngz
+                                 - p0ng) * inv
+                            b1 = ((lwx * e2x + lwy * e2y + lwz * e2z)
+                                  - (ldx * xpx + ldy * xpy
+                                     + ldz * xpz)) * inv
+                            b2_ = (-(lwx * e1x + lwy * e1y + lwz * e1z)
+                                   - (ldx * pex + ldy * pey
+                                      + ldz * pez)) * inv
+                            ok = div_ok & (t >= t_min) & (t <= t_max) \
+                                & (b1 >= 0.0) & (b2_ >= 0.0) \
+                                & (b1 + b2_ <= 1.0) & (valid > 0)
+                            b0 = 1.0 - b1 - b2_
+                            inx = b0 * n0x + b1 * n1x + b2_ * n2x
+                            iny = b0 * n0y + b1 * n1y + b2_ * n2y
+                            inz = b0 * n0z + b1 * n1z + b2_ * n2z
+                            # local normal -> world (inverse-transpose)
+                            # at fold time so the carried plane is world.
+                            wnx = m00 * inx + m01 * iny + m02 * inz
+                            wny = m10 * inx + m11 * iny + m12 * inz
+                            wnz = m20 * inx + m21 * iny + m22 * inz
+                            back = (dx * wnx + dy * wny + dz * wnz) > 0.0
+                            fr = jnp.where(back, 0.0, 1.0)
+                            # unique deterministic ordinal: per-instance
+                            # base + local-table index (both exact in f32)
+                            ordv = ord_base + j.astype(jnp.float32)
+                            return fold(carry, t, ok, fr, wnx, wny, wnz,
+                                        mat, ordv, float(KIND_TRIANGLE))
+
+                        return tree_walk(iacc_ref, itri_body, carry,
+                                         slab=l_slab, start=root)
+
+                    return jax.lax.cond(pred, enter, lambda c: c, carry)
+
+                carry = jax.lax.fori_loop(0, n_inst, inst_body, carry)
 
             return carry
 
@@ -898,12 +1096,19 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sky, rr_depth=0, vmem_kinds=(False, False, False),
-                       nee=False, n_lights=0):
+                       nee=False, n_lights=0, n_inst=0, itri_vmem=False):
     import jax.experimental.pallas as pl
 
     def kernel(seed_ref, pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
-               mats_ref, lights_ref, rr_ref, rg_ref, rb_ref):
+               mats_ref, lights_ref, *rest):
+        if n_inst > 0:
+            (itri_ref, iacc_ref, ibox_ref, inst_ref,
+             rr_ref, rg_ref, rb_ref) = rest
+            inst_refs = (itri_ref, iacc_ref, ibox_ref, inst_ref)
+        else:
+            rr_ref, rg_ref, rb_ref = rest
+            inst_refs = None
         shape = (rows, LANES)
         # Pixel-keyed RNG (not tile-position-keyed): the image is invariant
         # to ray ORDER, so Morton-permuted raygen, sharded pixel blocks and
@@ -920,7 +1125,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights)
+            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem)
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -951,7 +1156,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
-                     "interpret", "rr_depth", "vmem_kinds", "nee"))
+                     "interpret", "rr_depth", "vmem_kinds", "nee",
+                     "itri_vmem"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -961,7 +1167,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sky: Tuple[float, float, float],
                  interpret: bool = False, rr_depth: int = 0,
                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
-                 nee: bool = False,
+                 nee: bool = False, inst=None, itri_vmem: bool = False,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance."""
@@ -984,11 +1190,13 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     # Callers pass nee=True only when the scene HAS samplable lights
     # (lights is a traced array here — no value checks under jit).
     n_lights = int(lights.shape[1]) if nee else 0
+    n_inst = int(inst[3].shape[1]) if inst is not None else 0
     kernel = _make_trace_kernel(rows, max_depth, t_min, t_max,
                                 tab_n(sph_tab, vmem_kinds[0]),
                                 tab_n(quad_tab, vmem_kinds[1]),
                                 tab_n(tri_tab, vmem_kinds[2]),
-                                sky, rr_depth, vmem_kinds, nee, n_lights)
+                                sky, rr_depth, vmem_kinds, nee, n_lights,
+                                n_inst, itri_vmem)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1000,17 +1208,23 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
     interp = pltpu.InterpretParams() if interpret else False
+    inst_arrays = []
+    inst_specs = []
+    if inst is not None:
+        vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        inst_specs = [vmem_full if itri_vmem else smem, smem, smem, smem]
+        inst_arrays = list(inst)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 7, *tab_specs,
-                  smem, smem, smem, smem, smem],
+                  smem, smem, smem, smem, smem, *inst_specs],
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 3,
         interpret=interp,
     )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights)
+      mats, lights, *inst_arrays)
 
     rr, rg, rb = out
     return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
@@ -1024,16 +1238,23 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
 def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          n_tri, sky, rr_depth=0,
                          vmem_kinds=(False, False, False),
-                         nee=False, n_lights=0):
+                         nee=False, n_lights=0, n_inst=0, itri_vmem=False):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
                pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref, al_ref,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
-               mats_ref, lights_ref,
-               oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
-               rro, rgo, rbo, alive_o):
+               mats_ref, lights_ref, *rest):
+        if n_inst > 0:
+            (itri_ref, iacc_ref, ibox_ref, inst_ref,
+             oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
+             rro, rgo, rbo, alive_o) = rest
+            inst_refs = (itri_ref, iacc_ref, ibox_ref, inst_ref)
+        else:
+            (oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
+             rro, rgo, rbo, alive_o) = rest
+            inst_refs = None
         tile = pl.program_id(0)
         shape = (rows, LANES)
         seed = scalar_ref[0]
@@ -1060,7 +1281,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights)
+            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -1096,7 +1317,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    sky: Tuple[float, float, float],
                    interpret: bool = False, rr_depth: int = 0,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
-                   nee: bool = False):
+                   nee: bool = False, inst=None, itri_vmem: bool = False):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -1126,11 +1347,13 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         return int(tab.shape[0]) if vm else int(tab.shape[1])
 
     n_lights = int(lights.shape[1]) if nee else 0
+    n_inst = int(inst[3].shape[1]) if inst is not None else 0
     kernel = _make_segment_kernel(rows, n_bounces, t_min, t_max,
                                   tab_n(sph_tab, vmem_kinds[0]),
                                   tab_n(quad_tab, vmem_kinds[1]),
                                   tab_n(tri_tab, vmem_kinds[2]),
-                                  sky, rr_depth, vmem_kinds, nee, n_lights)
+                                  sky, rr_depth, vmem_kinds, nee, n_lights,
+                                  n_inst, itri_vmem)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1139,17 +1362,22 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
 
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
+    inst_arrays = []
+    inst_specs = []
+    if inst is not None:
+        inst_specs = [vmem_full if itri_vmem else smem, smem, smem, smem]
+        inst_arrays = list(inst)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 14, *tab_specs,
-                  smem, smem, smem, smem, smem],
+                  smem, smem, smem, smem, smem, *inst_specs],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights)
+      mats, lights, *inst_arrays)
 
     flat = [p.reshape(r) for p in out]
     return flat[:12], flat[12]
