@@ -86,14 +86,15 @@ def _sort_key(state, bb_lo, inv_ext, mode: str):
 @partial(jax.jit,
          static_argnames=("rows", "segment", "max_depth", "t_min", "t_max",
                           "sky", "bb", "interpret", "rr_depth",
-                          "vmem_kinds", "sort_rays", "nee"))
+                          "vmem_kinds", "sort_rays", "nee", "itri_vmem"))
 def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
                     sph_cl, quad_cl, tri_cl, mats, lights, seed,
                     rows: int, segment: int, max_depth: int,
                     t_min: float, t_max: float, sky, bb,
                     interpret: bool = False, rr_depth: int = 0,
                     vmem_kinds=(False, False, False),
-                    sort_rays: str = "octant", nee: bool = False):
+                    sort_rays: str = "octant", nee: bool = False,
+                    inst=None, itri_vmem: bool = False):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
@@ -126,7 +127,7 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
             pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
             sph_cl, quad_cl, tri_cl, mats, lights, scalars,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
-            vmem_kinds, nee)
+            vmem_kinds, nee, inst, itri_vmem)
         state = list(state)
         alive_p = alive
 
@@ -239,8 +240,27 @@ class WavefrontFusedRenderer(Renderer):
         from parallelraytracing_tpu.accel.lbvh import scene_primitive_aabbs
         from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
         from parallelraytracing_tpu.ops.nee import extract_lights
-        from parallelraytracing_tpu.ops.pallas_trace import pack_lights_table
-        host_scene = jax.device_get(self._scene_data)
+        from parallelraytracing_tpu.ops.pallas_trace import (
+            pack_instance_tables, pack_lights_table, to_vmem_rows)
+        if getattr(self._scene, "instances", None):
+            # In-kernel TLAS/BLAS (same path as the fused engine).
+            base = self._scene.build(bake_instances=False)
+            self._scene_data = jax.device_put(base)
+            host_scene = jax.device_get(base)
+            ord_base = float(host_scene.sph_valid.shape[0]
+                             + host_scene.quad_valid.shape[0]
+                             + host_scene.tri_valid.shape[0])
+            itri, iacc, ibox, inst = pack_instance_tables(
+                self._scene._inst_meshes, self._scene.instances, ord_base)
+            self._itri_vmem = itri.shape[1] > self.vmem_threshold
+            if self._itri_vmem:
+                itri = to_vmem_rows(itri)
+            self._inst = tuple(jax.device_put(jnp.asarray(a))
+                               for a in (itri, iacc, ibox, inst))
+        else:
+            host_scene = jax.device_get(self._scene_data)
+            self._inst = None
+            self._itri_vmem = False
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
             host_scene, accel=self.accel)
         self._nee = bool(self.config.nee
@@ -264,11 +284,18 @@ class WavefrontFusedRenderer(Renderer):
         cfg = self.config
         perm, inv = morton_pixel_perm(cfg.width, cfg.height)
         self._perm = jax.device_put(jnp.asarray(perm))
-        # Static scene bbox for origin quantization.
+        # Static scene bbox for origin quantization (union of base
+        # primitives and instance world boxes).
         mn, mx, _, _ = scene_primitive_aabbs(host_scene)
-        if len(mn):
-            lo = mn.min(0)
-            ext = np.maximum(mx.max(0) - lo, 1e-9)
+        mins = [mn] if len(mn) else []
+        maxs = [mx] if len(mx) else []
+        if self._inst is not None:
+            ibox = np.asarray(self._inst[2])
+            mins.append(ibox[:3].T)
+            maxs.append(ibox[3:].T)
+        if mins:
+            lo = np.concatenate(mins).min(0)
+            ext = np.maximum(np.concatenate(maxs).max(0) - lo, 1e-9)
         else:
             lo = np.zeros(3)
             ext = np.ones(3)
@@ -301,6 +328,7 @@ class WavefrontFusedRenderer(Renderer):
                 seed, self.rows, self.segment, cfg.max_depth,
                 cfg.t_min, cfg.t_max, sky, self._bb,
                 self._interpret, cfg.russian_roulette_depth,
-                self._vmem_kinds, self.sort_rays, self._nee)
+                self._vmem_kinds, self.sort_rays, self._nee,
+                self._inst, self._itri_vmem)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

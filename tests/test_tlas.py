@@ -133,3 +133,22 @@ def test_fused_in_kernel_tlas_matches_baked():
         imgs[tag] = np.asarray(film.hdr_average())
     rmse = float(np.sqrt(np.mean((imgs["tlas"] - imgs["baked"]) ** 2)))
     assert rmse < 1e-3, rmse
+
+
+def test_wavefront_fused_instanced_bitmatches_fused():
+    cfg = RenderConfig(width=48, height=32, max_depth=4, seed=5,
+                       intersect_chunk=32)
+    imgs = {}
+    for engine in ("fused", "wavefront_fused"):
+        s, _ = instanced_scene()
+        film = Film(cfg.width, cfg.height)
+        r = create_renderer(engine)
+        r.rows = 2
+        if engine == "wavefront_fused":
+            r.segment = 2
+        r.init(film, s, default_camera(cfg.width, cfg.height), cfg)
+        assert r._inst is not None  # in-kernel TLAS active in both
+        for _ in range(3):
+            r.progressive_render()
+        imgs[engine] = np.asarray(film.hdr_average())
+    np.testing.assert_array_equal(imgs["fused"], imgs["wavefront_fused"])
