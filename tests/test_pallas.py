@@ -107,3 +107,42 @@ def test_fused_finite_on_mesh_scene():
     r.progressive_render()
     img = np.asarray(film.hdr_average())
     assert np.isfinite(img).all() and (img >= 0).all()
+
+
+def test_cluster_tree_structure():
+    """Threaded cluster-BVH well-formedness: leaves partition the
+    primitive range exactly once, escape links are valid preorder
+    forward-jumps, and internal boxes contain their leaves."""
+    import numpy as np
+
+    from parallelraytracing_tpu.ops.pallas_trace import (
+        _cluster_bounds, _cluster_tree)
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    mn = rng.uniform(-50, 50, (n, 3))
+    mx = mn + rng.uniform(0.1, 4.0, (n, 3))
+    csize = 8
+    cl = _cluster_bounds(mn, mx, csize)
+    tree = _cluster_tree(cl, n, csize)
+    m = tree.shape[1]
+    lo = tree[7]
+    hi = tree[8]
+    miss = tree[6]
+    leaves = lo >= 0
+    # every primitive covered exactly once by the leaf ranges
+    cover = np.zeros(n, np.int32)
+    for s in np.nonzero(leaves)[0]:
+        cover[int(lo[s]):int(hi[s])] += 1
+    assert (cover == 1).all()
+    # escape links jump strictly forward (or terminate)
+    idx = np.arange(m)
+    assert ((miss > idx) | (miss == -1)).all()
+    # internal nodes contain every leaf in their preorder span
+    for s in np.nonzero(~leaves)[0]:
+        end = int(miss[s]) if miss[s] >= 0 else m
+        span = np.arange(s + 1, end)
+        span_leaves = span[leaves[span]]
+        assert len(span_leaves) > 0
+        assert (tree[:3, span_leaves] >= tree[:3, s:s+1] - 1e-5).all()
+        assert (tree[3:6, span_leaves] <= tree[3:6, s:s+1] + 1e-5).all()
