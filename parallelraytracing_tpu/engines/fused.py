@@ -70,6 +70,12 @@ class FusedRenderer(Renderer):
     #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
     rows: int = int(os.environ.get("PRT_ROWS", "16"))
 
+    #: in-kernel sub-tile rows: each tile splits into independent
+    #: (sub_rows, 128) blocks with their own bounce loop / tree walks /
+    #: early exit — finer-grained cluster entry for divergent rays
+    #: without grid-level per-tile overhead.  0 = off.
+    sub_rows: int = int(os.environ.get("PRT_SUBROWS", "0"))
+
     #: per-kind primitive count above which the table moves from SMEM
     #: scalar layout to VMEM row layout (dynamic-sublane reads).
     vmem_threshold: int = 2048
@@ -116,7 +122,8 @@ class FusedRenderer(Renderer):
                              + host_scene.quad_valid.shape[0]
                              + host_scene.tri_valid.shape[0])
             itri, iacc, ibox, inst = pack_instance_tables(
-                self._scene._inst_meshes, self._scene.instances, ord_base)
+                self._scene._inst_meshes, self._scene.instances, ord_base,
+                ordered=(self.accel == "ordered"))
             self._itri_vmem = itri.shape[1] > self.vmem_threshold
             if self._itri_vmem:
                 itri = to_vmem_rows(itri)
@@ -185,7 +192,8 @@ class FusedRenderer(Renderer):
                                rr_depth=cfg.russian_roulette_depth,
                                vmem_kinds=self._vmem_kinds,
                                nee=self._nee, inst=self._inst,
-                               itri_vmem=self._itri_vmem)[:r]
+                               itri_vmem=self._itri_vmem,
+                               sub_rows=self.sub_rows)[:r]
             if self._inv is not None:
                 rad = jnp.take(rad, self._inv, axis=0)
             acc = rad if acc is None else acc + rad

@@ -251,7 +251,8 @@ class WavefrontFusedRenderer(Renderer):
                              + host_scene.quad_valid.shape[0]
                              + host_scene.tri_valid.shape[0])
             itri, iacc, ibox, inst = pack_instance_tables(
-                self._scene._inst_meshes, self._scene.instances, ord_base)
+                self._scene._inst_meshes, self._scene.instances, ord_base,
+                ordered=(self.accel == "ordered"))
             self._itri_vmem = itri.shape[1] > self.vmem_threshold
             if self._itri_vmem:
                 itri = to_vmem_rows(itri)

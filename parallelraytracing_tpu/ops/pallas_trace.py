@@ -155,6 +155,108 @@ def _cluster_tree(cl: np.ndarray, n_prims: int,
     return np.ascontiguousarray(out)
 
 
+#: scalar-stack capacity for the ordered walk (tree depth bound; Karras
+#: trees over Morton-sorted clusters are near-balanced, asserted at build).
+STACK_CAP = 128
+
+
+def _cluster_stack_tree(cl: np.ndarray, n_prims: int,
+                        csize: int = None) -> np.ndarray:
+    """(6, n_cl) cluster-union bounds -> (10, M) ORDERED-traversal BVH.
+
+    Same Karras radix tree as _cluster_tree, but laid out with explicit
+    child pointers instead of escape links so the kernel can visit the
+    NEAR child first (front-to-back traversal — the ordering the
+    reference gets for free from OptiX's hardware traversal,
+    optix/renderer.cpp:703-871): early best_t tightening culls far
+    subtrees that the fixed preorder of the threaded layout must test.
+    Layout per node column: rows 0-5 AABB (min xyz, max xyz); row 6 left
+    child column (-1 marks a leaf); row 7 right child column (internal)
+    or leaf primitive-range start; row 8 split axis 0/1/2 (internal) or
+    range end; row 9 reserved.  `left` is the child with the SMALLER
+    AABB center along axis, so a ray travelling positive along axis
+    visits left first."""
+    from parallelraytracing_tpu.accel.lbvh import (_karras_tree, morton3d,
+                                                   thread_tree)
+    csize = csize or CLUSTER
+    n_cl = cl.shape[1]
+    emn = np.minimum(cl[:3], cl[3:]).T.astype(np.float64)
+    emx = np.maximum(cl[:3], cl[3:]).T.astype(np.float64)
+    if n_cl == 1:
+        out = np.zeros((10, 1), np.float32)
+        out[:6, 0] = cl[:, 0]
+        out[6, 0] = -1.0
+        out[7, 0] = 0.0
+        out[8, 0] = float(n_prims)
+        return out
+
+    cen = (emn + emx) * 0.5
+    lo = cen.min(0)
+    ext = np.maximum(cen.max(0) - lo, 1e-12)
+    codes = morton3d((cen - lo) / ext)
+    order = np.argsort(codes, kind="stable")
+    keys = (codes[order].astype(np.uint64) << np.uint64(31)) \
+        | np.arange(n_cl, dtype=np.uint64)
+    left, right = _karras_tree(keys)
+    is_leaf, payload, miss = thread_tree(left, right, n_cl)
+
+    m = 2 * n_cl - 1
+    out = np.zeros((10, m), np.float32)
+    node_mn = np.zeros((m, 3))
+    node_mx = np.zeros((m, 3))
+    leaf_slots = np.nonzero(is_leaf)[0]
+    src = order[payload[leaf_slots]]
+    node_mn[leaf_slots] = emn[src]
+    node_mx[leaf_slots] = emx[src]
+    out[6] = -1.0
+    out[7, leaf_slots] = src * csize
+    out[8, leaf_slots] = np.minimum(src * csize + csize, n_prims)
+
+    # internal AABBs: reverse-preorder sweep (children precede parents).
+    stack = []
+    for s in range(m - 1, -1, -1):
+        if is_leaf[s]:
+            stack.append((node_mn[s].copy(), node_mx[s].copy()))
+        else:
+            mn1, mx1 = stack.pop()
+            mn2, mx2 = stack.pop()
+            node_mn[s] = np.minimum(mn1, mn2)
+            node_mx[s] = np.maximum(mx1, mx2)
+            stack.append((node_mn[s], node_mx[s]))
+    assert len(stack) == 1
+    out[:3] = node_mn.T
+    out[3:6] = node_mx.T
+
+    # Explicit ordered child pointers: in the preorder layout a node's
+    # left child is the next slot and the right child is the left
+    # child's escape link (thread_tree sets a left child's escape to its
+    # right sibling's slot).
+    internal = np.nonzero(~is_leaf)[0]
+    lc = internal + 1
+    rc = miss[lc]
+    cenn = (node_mn + node_mx) * 0.5
+    d = cenn[rc] - cenn[lc]
+    axis = np.abs(d).argmax(1)
+    swap = d[np.arange(len(internal)), axis] < 0
+    out[6, internal] = np.where(swap, rc, lc)
+    out[7, internal] = np.where(swap, lc, rc)
+    out[8, internal] = axis
+
+    # stack bound: depth of the tree (the walk holds ≤ depth+1 entries);
+    # preorder guarantees parents precede children.
+    depth = np.zeros(m, np.int64)
+    depth[0] = 1
+    for s in range(m):
+        if not is_leaf[s]:
+            l_ = int(out[6, s])
+            r_ = int(out[7, s])
+            depth[l_] = depth[s] + 1
+            depth[r_] = depth[s] + 1
+    maxd = int(depth.max())
+    assert maxd + 1 < STACK_CAP, (maxd, STACK_CAP)
+    return np.ascontiguousarray(out)
+
+
 def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
                    eye, csize: int = None) -> tuple:
     """Reorder a kind's primitive table in CLUSTER blocks so clusters are
@@ -204,18 +306,28 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     mats) float32 host arrays.  Primitives of each kind are sorted by the Morton
     code of their AABB centroid so consecutive runs of CLUSTER primitives
     are spatially tight; *_acc is the per-kind acceleration table the
-    kernel culls with — "tree" builds a threaded BVH over the clusters
-    ((9, M) _cluster_tree layout, walked in lockstep); "linear" keeps each
-    run's union AABB ((6, n_cl)), scanned with one scalar-predicated slab
-    test per cluster; "auto" (default) picks per kind by cluster count
-    (TREE_THRESHOLD).  The kernel dispatches on shape[0], so both are
-    drop-in.
+    kernel culls with — "tree" builds a threaded escape-link BVH
+    ((9, M) _cluster_tree layout, fixed preorder); "ordered" an
+    explicit-pointer BVH walked near-child-first ((10, M)
+    _cluster_stack_tree layout — measured a WASH vs "tree": the
+    whole-tile any-lane entry rule erases per-ray front-to-back gains,
+    RESULTS.md); "linear" keeps each run's union AABB ((6, n_cl)),
+    scanned with one scalar-predicated slab test per cluster; "auto"
+    (default) picks per kind by cluster count (TREE_THRESHOLD).  The
+    kernel dispatches on shape[0], so all are drop-in.
 
     sph_tab  (7, Ns):  cx cy cz r2 valid mid ord
     quad_tab (15, Nq): n(3) cn us(3) cu vs(3) cv valid mid ord
     tri_tab  (28, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
                        n0(3) n1(3) n2(3) valid mid ord
-    mats     (9, Nm):  mtype alb(3) emit(3) rough ior
+    mats     (5, Nm):  mtype c(3) extra — a compressed material record
+                       exploiting BSDF exclusivity: c carries EMISSION for
+                       emissive materials (their attenuation is never used:
+                       the path terminates) and ALBEDO otherwise (dielectric
+                       attenuation is identity and ignored); extra carries
+                       roughness for metal, IoR for dielectric, 1.0
+                       otherwise.  4 fewer fold selects + 4 fewer scalar
+                       reads per tested primitive.
 
     mid indexes the shared material table (the TPU form of the reference's
     dedup handle remap, cuda_megakernel/renderer.cu:282-344): one level of
@@ -234,10 +346,11 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     rough = np.asarray(scene.mat_rough, np.float32)
     ior = np.asarray(scene.mat_ior, np.float32)
 
+    mc = np.where((mt == MAT_EMISSIVE)[:, None], emit, alb)
+    extra = np.where(mt == MAT_METAL, rough,
+                     np.where(mt == MAT_DIELECTRIC, ior, 1.0))
     mats = np.stack([
-        mt, alb[:, 0], alb[:, 1], alb[:, 2],
-        emit[:, 0], emit[:, 1], emit[:, 2],
-        rough, ior], axis=0).astype(np.float32)
+        mt, mc[:, 0], mc[:, 1], mc[:, 2], extra], axis=0).astype(np.float32)
 
     def mat_cols(ids):
         return np.asarray(ids, np.float32)[None]
@@ -250,6 +363,18 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
 
     n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
     n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
+
+    def accelerate(tab, cl, mn2, mx2, n, csize=None):
+        """Per-kind acceleration-table choice (see docstring)."""
+        csize = csize or CLUSTER
+        if accel == "ordered":
+            return tab, _cluster_stack_tree(cl, n, csize)
+        if accel == "tree" or (accel == "auto"
+                               and cl.shape[1] > TREE_THRESHOLD):
+            return tab, _cluster_tree(cl, n, csize)
+        if eye is not None and cl.shape[1] > 1:
+            return _front_to_back(tab, mn2, mx2, eye, csize)
+        return tab, cl
 
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
@@ -265,13 +390,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     # invalid pads get inverted boxes so their cluster test can't pass
     s_mn2 = np.where(sv[:, None], s_mn[s_ord], np.float64(1.0))
     s_mx2 = np.where(sv[:, None], s_mx[s_ord], np.float64(-1.0))
-    sph_cl = _cluster_bounds(s_mn2, s_mx2)
-    if accel == "tree" or (accel == "auto"
-                           and sph_cl.shape[1] > TREE_THRESHOLD):
-        sph_cl = _cluster_tree(sph_cl, len(sv))
-    elif eye is not None and sph_cl.shape[1] > 1:
-        sph, sph_cl = _front_to_back(sph, s_mn2,
-                                           s_mx2, eye)
+    sph, sph_cl = accelerate(sph, _cluster_bounds(s_mn2, s_mx2),
+                             s_mn2, s_mx2, len(sv))
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
@@ -294,13 +414,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         (q_ord + n_sph_full).astype(np.float32)[None]], axis=0)
     q_mn2 = np.where(qvd[:, None], q_mn[q_ord], np.float64(1.0))
     q_mx2 = np.where(qvd[:, None], q_mx[q_ord], np.float64(-1.0))
-    quad_cl = _cluster_bounds(q_mn2, q_mx2)
-    if accel == "tree" or (accel == "auto"
-                           and quad_cl.shape[1] > TREE_THRESHOLD):
-        quad_cl = _cluster_tree(quad_cl, len(qvd))
-    elif eye is not None and quad_cl.shape[1] > 1:
-        quad, quad_cl = _front_to_back(quad, q_mn2,
-                                           q_mx2, eye)
+    quad, quad_cl = accelerate(quad, _cluster_bounds(q_mn2, q_mx2),
+                               q_mn2, q_mx2, len(qvd))
 
     v0 = np.asarray(scene.tri_v0, np.float32)
     v1 = np.asarray(scene.tri_v1, np.float32)
@@ -327,12 +442,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None]], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
-    tri_cl = _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER)
-    if accel == "tree" or (accel == "auto"
-                           and tri_cl.shape[1] > TREE_THRESHOLD):
-        tri_cl = _cluster_tree(tri_cl, len(tvd), TRI_CLUSTER)
-    elif eye is not None and tri_cl.shape[1] > 1:
-        tri, tri_cl = _front_to_back(tri, t_mn2, t_mx2, eye, TRI_CLUSTER)
+    tri, tri_cl = accelerate(tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
+                             t_mn2, t_mx2, len(tvd), TRI_CLUSTER)
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
@@ -363,7 +474,8 @@ def pack_lights_table(scene: SceneData) -> np.ndarray:
         np.asarray(L.emit, np.float32).T], axis=0)
 
 
-def pack_instance_tables(inst_meshes, instances, ord_base: float):
+def pack_instance_tables(inst_meshes, instances, ord_base: float,
+                         ordered: bool = False):
     """Host tables for in-kernel TLAS/BLAS instancing.
 
     inst_meshes: unique Mesh objects; instances: (mesh_index, material_id,
@@ -374,8 +486,10 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float):
     - itri: LOCAL-space triangle geometry concatenated across unique
       meshes, Morton-sorted in TRI_CLUSTER runs per mesh
       [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3) valid];
-    - iacc: per-mesh threaded cluster-BVHs over the local triangles,
-      concatenated with GLOBAL links (miss -1 exits back to the TLAS);
+    - iacc: per-mesh cluster-BVHs over the local triangles, concatenated
+      with GLOBAL child/range indices; the threaded escape-link layout
+      by default (miss -1 exits back to the TLAS), or the
+      explicit-pointer near-first layout when ordered=True;
     - ibox: instance world AABBs (transformed local root corners);
     - inst: per instance [blas root, world->local affine (12, row-major
       3x4), local-normal->world matrix (9 = inv^T linear), material id,
@@ -413,14 +527,23 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float):
             ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
             n0.T, n1.T, n2.T, np.ones((1, nt))], axis=0).astype(np.float32)
         cl = _cluster_bounds(mn, mx, TRI_CLUSTER)
-        tree = _cluster_tree(cl, nt, TRI_CLUSTER)
-        # globalize links: leaf ranges shift by tri_off, miss by node_off
-        # (-1 stays -1 = exit the BLAS).
-        tree = tree.copy()
-        tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
-        leaf = tree[7] >= 0
-        tree[7, leaf] += tri_off
-        tree[8, leaf] += tri_off
+        if ordered:
+            # explicit-pointer layout: child columns shift by node_off,
+            # leaf triangle ranges by tri_off (leaf marker row6 == -1).
+            tree = _cluster_stack_tree(cl, nt, TRI_CLUSTER).copy()
+            leaf = tree[6] < 0
+            tree[6, ~leaf] += node_off
+            tree[7, ~leaf] += node_off
+            tree[7, leaf] += tri_off
+            tree[8, leaf] += tri_off
+        else:
+            tree = _cluster_tree(cl, nt, TRI_CLUSTER).copy()
+            # globalize links: leaf ranges shift by tri_off, miss by
+            # node_off (-1 stays -1 = exit the BLAS).
+            tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
+            leaf = tree[7] >= 0
+            tree[7, leaf] += tri_off
+            tree[8, leaf] += tri_off
         itri_cols.append(tab)
         iacc_cols.append(tree)
         mesh_root.append(node_off)
@@ -497,14 +620,24 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       cluster_refs=None, mats_ref=None, lights_ref=None,
                       nee: bool = False, n_lights: int = 0,
                       inst_refs=None, n_inst: int = 0,
-                      itri_vmem: bool = False):
+                      itri_vmem: bool = False, stack_ref=None,
+                      stats_ref=None):
     f0 = jnp.zeros(shape, jnp.float32)
+
+    # Does any acceleration table use the ordered (10, M) layout?  Static:
+    # decides whether majority-direction signs are computed per ray set.
+    _acc_tabs = list(cluster_refs or ())
+    if inst_refs is not None:
+        _acc_tabs.append(inst_refs[1])
+    ordered_any = any(t is not None and t.shape[0] == 10 for t in _acc_tabs)
 
     def mat_of(mid):
         """Material constants via one SMEM indirection (mid is the f32
-        material id column; ids are small integers, exact in f32)."""
+        material id column; ids are small integers, exact in f32).
+        Returns (mtype, c0, c1, c2, extra) — the compressed record
+        (c = albedo or emission; extra = rough | ior | 1)."""
         mi = mid.astype(jnp.int32)
-        return tuple(mats_ref[k, mi] for k in range(9))
+        return tuple(mats_ref[k, mi] for k in range(5))
 
     def bounce_step(rng_d, state, depth=None):
         """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
@@ -529,21 +662,24 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
             # ---------------- closest hit fold over all primitives
             # The fold carries RAW winner geometry (sphere center / quad normal
-            # / unnormalized interpolated triangle normal in gx,gy,gz) plus the
-            # winning kind; the shading normal is reconstructed ONCE per bounce
-            # after the fold, so per-primitive bodies skip hit-point and
-            # normal math (~11 vector ops saved per tested primitive).
-            best_t = jnp.full(shape, BIG, jnp.float32)
-            carry0 = (best_t, f0, f0, f0, f0, f0,
-                      f0, f0, f0, f0, f0, f0, f0,
-                      jnp.full(shape, 1.0, jnp.float32),
-                      jnp.full(shape, float(1 << 24), jnp.float32),  # best_ord
-                      jnp.full(shape, -1.0, jnp.float32))            # kind
+            # / unnormalized interpolated triangle normal in gx,gy,gz) plus a
+            # packed FLAGS plane (bit 0 front-face, bit 1 kind-is-sphere,
+            # bits 2+ material type) and the compressed material record
+            # (c0..c2, extra); the shading normal / flag decode happen ONCE
+            # per bounce after the fold, so per-primitive bodies skip
+            # hit-point, normal, and per-channel material math.
+            # Dead lanes start at best_t = -BIG: every slab test's
+            # better-than-best term then excludes them for free (no
+            # explicit active mask in the hot per-node test).  Their fold
+            # results are garbage but every consumer is alive-masked.
+            best_t = jnp.where(active_b, BIG, -BIG)
+            carry0 = (best_t, f0, f0, f0, f0,
+                      f0, f0, f0, f0,
+                      jnp.full(shape, float(1 << 24), jnp.float32))  # best_ord
 
-            def fold(carry, t, ok, fr, gxp, gyp, gzp, mat, ordv, kindv):
-                (best_t, gx, gy, gz, front, m_type,
-                 m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
-                 best_ord, kind) = carry
+            def fold(carry, t, ok, flags, gxp, gyp, gzp, mat, ordv):
+                (best_t, gx, gy, gz, fl,
+                 m_c0, m_c1, m_c2, m_extra, best_ord) = carry
                 # strict < with lowest-original-ordinal tie-break: primitives
                 # are Morton-sorted, so visit order no longer matches the
                 # reference's first-wins list order — the carried ordinal
@@ -551,38 +687,109 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
                 sel = lambda a, b: jnp.where(upd, a, b)
                 return (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
-                        sel(gzp, gz), sel(fr, front), sel(mat[0], m_type),
-                        sel(mat[1], m_ar), sel(mat[2], m_ag), sel(mat[3], m_ab),
-                        sel(mat[4], m_er), sel(mat[5], m_eg), sel(mat[6], m_eb),
-                        sel(mat[7], m_rough), sel(mat[8], m_ior),
-                        sel(ordv, best_ord), sel(kindv, kind))
+                        sel(gzp, gz), sel(flags, fl),
+                        sel(mat[1], m_c0), sel(mat[2], m_c1),
+                        sel(mat[3], m_c2), sel(mat[4], m_extra),
+                        sel(ordv, best_ord))
 
             def make_slab(sox, soy, soz, six, siy, siz):
                 """Scalar-AABB-vs-tile slab test for a given ray set: does
                 ANY live lane hit the box at better-than-best t?  Returns
                 the scalar predicate.  Swap-insensitive in min/max
-                (inverted boxes act swapped)."""
+                (inverted boxes act swapped).  origin*inv products are
+                hoisted so each plane distance is one fused multiply-sub."""
+                psx = sox * six
+                psy = soy * siy
+                psz = soz * siz
+
                 def slab(ref, col, best_t):
                     bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
                     bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
-                    tx0 = (bx0 - sox) * six
-                    tx1 = (bx1 - sox) * six
-                    ty0 = (by0 - soy) * siy
-                    ty1 = (by1 - soy) * siy
-                    tz0 = (bz0 - soz) * siz
-                    tz1 = (bz1 - soz) * siz
+                    tx0 = bx0 * six - psx
+                    tx1 = bx1 * six - psx
+                    ty0 = by0 * siy - psy
+                    ty1 = by1 * siy - psy
+                    tz0 = bz0 * siz - psz
+                    tz1 = bz1 * siz - psz
                     tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                                  jnp.minimum(ty0, ty1)),
                                      jnp.minimum(tz0, tz1))
                     tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                                  jnp.maximum(ty0, ty1)),
                                      jnp.maximum(tz0, tz1))
-                    hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t) \
-                        & active_b
+                    # no explicit active mask: dead lanes carry
+                    # best_t = -BIG and fail tn <= best_t.
+                    hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t)
                     return jnp.sum(hit.astype(jnp.float32)) > 0.0
                 return slab
 
             slab_any_hit = make_slab(ox, oy, oz, inv_dx, inv_dy, inv_dz)
+
+            if ordered_any:
+                # Majority direction sign per axis for THIS ray set (one
+                # scalar vote per axis): picks which child the ordered
+                # walk visits first.  A heuristic — minority lanes still
+                # intersect correctly, just in far-first order.
+                sgn_w = (jnp.sum(jnp.where(active_b, dx, 0.0)) < 0.0,
+                         jnp.sum(jnp.where(active_b, dy, 0.0)) < 0.0,
+                         jnp.sum(jnp.where(active_b, dz, 0.0)) < 0.0)
+            else:
+                sgn_w = None
+
+            def stack_walk(tref, body, carry, slab, sgn, start=0):
+                """Whole-tile ORDERED walk of the explicit-pointer BVH
+                ((10, M) _cluster_stack_tree layout): a scalar stack in
+                SMEM scratch, descending the NEAR child (by the tile's
+                majority direction sign along the node's split axis)
+                first so best_t tightens before the far subtree is
+                tested — front-to-back traversal, the reference's OptiX
+                traversal order (optix/renderer.cpp:703-871).  Writes
+                above the stack pointer are unconditional (cheaper than
+                predication) and never read back."""
+                sgx, sgy, sgz = sgn
+                stack_ref[0] = jnp.int32(0) + start
+
+                def wcond(st):
+                    return st[0] > 0
+
+                def wbody(st):
+                    sp, carry = st
+                    sp = sp - 1
+                    node = stack_ref[sp]
+                    any_hit = slab(tref, node, carry[0])
+                    lft = tref[6, node].astype(jnp.int32)
+                    is_leaf = lft < 0
+
+                    def do_leaf(c):
+                        lo = tref[7, node].astype(jnp.int32)
+                        hi = tref[8, node].astype(jnp.int32)
+                        return jax.lax.fori_loop(lo, hi, body, c)
+
+                    if stats_ref is not None:
+                        stats_ref[0] = stats_ref[0] + 1
+                        enter = (any_hit & is_leaf).astype(jnp.int32)
+                        span = (tref[8, node] - tref[7, node]) \
+                            .astype(jnp.int32)
+                        stats_ref[1] = stats_ref[1] + enter
+                        stats_ref[2] = stats_ref[2] + enter * span
+
+                    carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
+                                         lambda c: c, carry)
+                    rgt = tref[7, node].astype(jnp.int32)
+                    axis = tref[8, node]
+                    neg = jnp.where(axis == 0.0, sgx,
+                                    jnp.where(axis == 1.0, sgy, sgz))
+                    near = jnp.where(neg, rgt, lft)
+                    far = jnp.where(neg, lft, rgt)
+                    stack_ref[sp] = far
+                    stack_ref[sp + 1] = near
+                    push = any_hit & jnp.logical_not(is_leaf)
+                    sp = jnp.where(push, sp + 2, sp)
+                    return sp, carry
+
+                _, carry = jax.lax.while_loop(wcond, wbody,
+                                              (jnp.int32(1), carry))
+                return carry
 
             def tree_walk(tref, body, carry, slab=None, start=0):
                 """Whole-tile lockstep walk of the threaded cluster-BVH
@@ -612,6 +819,13 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                         hi = tref[8, node].astype(jnp.int32)
                         return jax.lax.fori_loop(lo, hi, body, c)
 
+                    if stats_ref is not None:
+                        stats_ref[0] = stats_ref[0] + 1  # nodes visited
+                        enter = (any_hit & is_leaf).astype(jnp.int32)
+                        span = (tref[8, node] - lo_f).astype(jnp.int32)
+                        stats_ref[1] = stats_ref[1] + enter  # leaves entered
+                        stats_ref[2] = stats_ref[2] + enter * span  # prims
+
                     carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                          lambda c: c, carry)
                     node = jnp.where(any_hit & jnp.logical_not(is_leaf),
@@ -633,6 +847,9 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 if cl_ref is None or n <= csize:
                     return jax.lax.fori_loop(0, n, body, carry)
 
+                if cl_ref.shape[0] == 10:
+                    return stack_walk(cl_ref, body, carry, slab_any_hit,
+                                      sgn_w)
                 if cl_ref.shape[0] == 9:
                     return tree_walk(cl_ref, body, carry)
 
@@ -643,6 +860,12 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                         lo = ci * csize
                         hi = jnp.minimum(lo + csize, n)
                         return jax.lax.fori_loop(lo, hi, body, carry)
+
+                    if stats_ref is not None:
+                        stats_ref[0] = stats_ref[0] + 1
+                        e = pred.astype(jnp.int32)
+                        stats_ref[1] = stats_ref[1] + e
+                        stats_ref[2] = stats_ref[2] + e * csize
 
                     return jax.lax.cond(pred, do, lambda c: c, carry)
 
@@ -668,8 +891,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
                 # Deferred normal: carry the center; normal = normalize(p - c)
                 # reconstructed after the fold.
-                return fold(carry, t, ok, fr, cx, cy, cz, mat, ordv,
-                            float(KIND_SPHERE))
+                flags = fr + (2.0 + 4.0 * mat[0])  # front | sphere | type
+                return fold(carry, t, ok, flags, cx, cy, cz, mat, ordv)
 
             sph_cl = cluster_refs[0] if cluster_refs else None
             carry = clustered(n_sph, sph_cl, sph_body, carry0)
@@ -700,8 +923,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 fr = (on - cn > 0.0).astype(jnp.float32)
                 # Deferred normal: raw unit plane normal; front-face sign is
                 # applied after the fold.
-                return fold(carry, t, ok, fr, qnx, qny, qnz, mat, ordv,
-                            float(KIND_QUAD))
+                flags = fr + 4.0 * mat[0]
+                return fold(carry, t, ok, flags, qnx, qny, qnz, mat, ordv)
 
             quad_cl = cluster_refs[1] if cluster_refs else None
             carry = clustered(n_quad, quad_cl, quad_body, carry)
@@ -744,8 +967,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 fr = jnp.where(back, 0.0, 1.0)
                 # Deferred normal: raw interpolated normal (unnormalized,
                 # unflipped — backface flip rides the front flag, shape.h:294-302).
-                return fold(carry, t, ok, fr, inx, iny, inz, mat, ordv,
-                            float(KIND_TRIANGLE))
+                flags = fr + 4.0 * mat[0]
+                return fold(carry, t, ok, flags, inx, iny, inz, mat, ordv)
 
             tri_cl = cluster_refs[2] if cluster_refs else None
             carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER)
@@ -838,9 +1061,18 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                             # unique deterministic ordinal: per-instance
                             # base + local-table index (both exact in f32)
                             ordv = ord_base + j.astype(jnp.float32)
-                            return fold(carry, t, ok, fr, wnx, wny, wnz,
-                                        mat, ordv, float(KIND_TRIANGLE))
+                            flags = fr + 4.0 * mat[0]
+                            return fold(carry, t, ok, flags, wnx, wny, wnz,
+                                        mat, ordv)
 
+                        if iacc_ref.shape[0] == 10:
+                            # near-first needs LOCAL-space direction votes
+                            lsgn = (
+                                jnp.sum(jnp.where(active_b, ldx, 0.0)) < 0.0,
+                                jnp.sum(jnp.where(active_b, ldy, 0.0)) < 0.0,
+                                jnp.sum(jnp.where(active_b, ldz, 0.0)) < 0.0)
+                            return stack_walk(iacc_ref, itri_body, carry,
+                                              l_slab, lsgn, start=root)
                         return tree_walk(iacc_ref, itri_body, carry,
                                          slab=l_slab, start=root)
 
@@ -852,11 +1084,17 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
         carry = closest_hit(ox, oy, oz, dx, dy, dz, alive_b)
 
-        (best_t, gx, gy, gz, front, m_type,
-         m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_rough, m_ior,
-         _, kind) = carry
+        (best_t, gx, gy, gz, flags,
+         m_c0, m_c1, m_c2, m_extra, _) = carry
 
         hit = best_t < BIG
+
+        # Decode the packed flags plane ONCE per bounce: bit 0 front-face,
+        # bit 1 kind-is-sphere, bits 2+ material type.
+        flagsi = flags.astype(jnp.int32)
+        front = (flagsi & 1).astype(jnp.float32)
+        is_sph_k = (flagsi & 2) > 0
+        m_type = flagsi >> 2
 
         # Winner hit point + deferred shading-normal reconstruction (once
         # per bounce instead of per tested primitive): spheres carried
@@ -867,7 +1105,6 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        is_sph_k = kind == float(KIND_SPHERE)
         nrx = jnp.where(is_sph_k, px - gx, gx)
         nry = jnp.where(is_sph_k, py - gy, gy)
         nrz = jnp.where(is_sph_k, pz - gz, gz)
@@ -885,14 +1122,16 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         rg = rg + mw * tg * sky[1]
         rb = rb + mw * tb * sky[2]
 
-        # emission before the scatter test (material.h:119-132); under
-        # NEE, suppressed when the previous bounce was diffuse (that
-        # vertex's light sample already owns this contribution).
+        # emission before the scatter test (material.h:119-132); the
+        # compressed record stores emission in c0..c2 for emissive
+        # materials (their albedo slot — attenuation is never applied to a
+        # terminated path).  Under NEE, suppressed when the previous
+        # bounce was diffuse (that vertex's light sample owns this term).
         lit = alive_b & hit
         lw = lit.astype(jnp.float32) * (m_type == MAT_EMISSIVE) * emit_w
-        rr = rr + lw * tr * m_er
-        rg = rg + lw * tg * m_eg
-        rb = rb + lw * tb * m_eb
+        rr = rr + lw * tr * m_c0
+        rg = rg + lw * tg * m_c1
+        rb = rb + lw * tb * m_c2
 
         if nee and n_lights > 0:
             # ---------------- next-event estimation (ops/nee.py semantics,
@@ -976,14 +1215,14 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     & (ok_f > 0.5))
 
             sh = closest_hit(px, py, pz, wix, wiy, wiz, cand)
-            vis = (sh[0] < BIG) & (sh[14] == lord)
+            vis = (sh[0] < BIG) & (sh[9] == lord)
 
             w_l = (cos_s / (float(np.pi)
                             * jnp.maximum(pdf_l, 1e-12))) \
                 * (cand & vis).astype(jnp.float32)
-            rr = rr + tr * m_ar * w_l * ler
-            rg = rg + tg * m_ag * w_l * leg
-            rb = rb + tb * m_ab * w_l * leb
+            rr = rr + tr * m_c0 * w_l * ler
+            rg = rg + tg * m_c1 * w_l * leg
+            rb = rb + tb * m_c2 * w_l * leb
 
         # RNG draws
         u1 = _uniform01(rng_d, 1)
@@ -1009,11 +1248,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         lz = jnp.where(degen, nz, lz)
 
         dn_ = dx * nx + dy * ny + dz * nz
-        rxm = dx - 2.0 * dn_ * nx + m_rough * ux
-        rym = dy - 2.0 * dn_ * ny + m_rough * uy
-        rzm = dz - 2.0 * dn_ * nz + m_rough * uz
+        rxm = dx - 2.0 * dn_ * nx + m_extra * ux
+        rym = dy - 2.0 * dn_ * ny + m_extra * uy
+        rzm = dz - 2.0 * dn_ * nz + m_extra * uz
 
-        ri = jnp.where(front > 0, 1.0 / m_ior, m_ior)
+        ri = jnp.where(front > 0, 1.0 / m_extra, m_extra)
         cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
         cannot = ri * sin_t > 1.0
@@ -1048,9 +1287,9 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         scat_ok = jnp.where(is_met, met_ok.astype(jnp.float32),
                             (is_lam | is_die).astype(jnp.float32)) > 0.5
 
-        att_r = jnp.where(is_die, 1.0, m_ar)
-        att_g = jnp.where(is_die, 1.0, m_ag)
-        att_b = jnp.where(is_die, 1.0, m_ab)
+        att_r = jnp.where(is_die, 1.0, m_c0)
+        att_g = jnp.where(is_die, 1.0, m_c1)
+        att_b = jnp.where(is_die, 1.0, m_c2)
 
         cont = lit & scat_ok
         cw = cont.astype(jnp.float32)
@@ -1096,12 +1335,34 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sky, rr_depth=0, vmem_kinds=(False, False, False),
-                       nee=False, n_lights=0, n_inst=0, itri_vmem=False):
+                       nee=False, n_lights=0, n_inst=0, itri_vmem=False,
+                       sub_rows=0, collect_stats=False):
     import jax.experimental.pallas as pl
+
+    # In-kernel sub-tiling: split each (rows, 128) tile into independent
+    # (sub, 128) blocks, each with its OWN bounce loop, tree walks, cluster
+    # entry predicates and early-exit.  Divergent secondary rays then drag
+    # only their block into a cluster, not the whole tile — the lockstep
+    # worst case the mesh measurements identified (RESULTS.md) — without
+    # paying the grid-level per-tile DMA/pipeline overhead smaller
+    # BlockSpec tiles cost.  sub_rows=0 disables (one block per tile).
+    sub = sub_rows if 0 < sub_rows < rows else rows
+    n_sub = rows // sub
+    assert rows % sub == 0, (rows, sub)
 
     def kernel(seed_ref, pix_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
+        rest = list(rest)
+        if collect_stats:
+            stats_scr = rest.pop()
+            stack_ref = rest.pop()
+            stats_out = rest.pop()
+            for k in range(4):
+                stats_scr[k] = jnp.int32(0)
+        else:
+            stack_ref = rest.pop()
+            stats_out = stats_scr = None
         if n_inst > 0:
             (itri_ref, iacc_ref, ibox_ref, inst_ref,
              rr_ref, rg_ref, rb_ref) = rest
@@ -1109,15 +1370,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
         else:
             rr_ref, rg_ref, rb_ref = rest
             inst_refs = None
-        shape = (rows, LANES)
-        # Pixel-keyed RNG (not tile-position-keyed): the image is invariant
-        # to ray ORDER, so Morton-permuted raygen, sharded pixel blocks and
-        # the queue-compacting engines all produce bit-identical streams
-        # for the same pixel (the OptiX per-pixel PCG pattern,
-        # device_programs.cu:169).
-        rng_base = _pcg_hash(
-            pix_ref[:].astype(jnp.int32).astype(jnp.uint32)
-            ^ seed_ref[0].astype(jnp.uint32))
+        shape = (sub, LANES)
 
         step = _make_bounce_step(
             shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
@@ -1125,30 +1378,58 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem)
+            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
+            stack_ref, stats_scr)
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
-        state = (ox_ref[:], oy_ref[:], oz_ref[:],
-                 dx_ref[:], dy_ref[:], dz_ref[:],
-                 f1, f1, f1, f0, f0, f0, f1)
 
-        def bounce(depth, state):
-            # Early exit: a fully-terminated tile skips the primitive loops
-            # (the queue-emptiness check the reference disabled to avoid
-            # host sync, renderer.cu:422-425 — free on-device here).
-            any_alive = jnp.sum(state[12]) > 0.0
+        def block(si, _):
+            sl = pl.ds(si * sub, sub)
+            # Pixel-keyed RNG (not tile-position-keyed): the image is
+            # invariant to ray ORDER, so Morton-permuted raygen, sharded
+            # pixel blocks and the queue-compacting engines all produce
+            # bit-identical streams for the same pixel (the OptiX
+            # per-pixel PCG pattern, device_programs.cu:169).
+            rng_base = _pcg_hash(
+                pix_ref[sl, :].astype(jnp.int32).astype(jnp.uint32)
+                ^ seed_ref[0].astype(jnp.uint32))
+            state = (ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :],
+                     dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :],
+                     f1, f1, f1, f0, f0, f0, f1)
 
-            def live(st):
-                rng_d = rng_base + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
-                return step(rng_d, st, depth)
+            def bounce(depth, state):
+                # Early exit: a fully-terminated block skips the primitive
+                # loops (the queue-emptiness check the reference disabled
+                # to avoid host sync, renderer.cu:422-425 — free here).
+                any_alive = jnp.sum(state[12]) > 0.0
+                if collect_stats:
+                    stats_scr[3] = stats_scr[3] + any_alive.astype(jnp.int32)
 
-            return jax.lax.cond(any_alive, live, lambda st: st, state)
+                def live(st):
+                    rng_d = rng_base \
+                        + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
+                    return step(rng_d, st, depth)
 
-        state = jax.lax.fori_loop(0, max_depth, bounce, state)
-        rr_ref[:] = state[9]
-        rg_ref[:] = state[10]
-        rb_ref[:] = state[11]
+                return jax.lax.cond(any_alive, live, lambda st: st, state)
+
+            state = jax.lax.fori_loop(0, max_depth, bounce, state)
+            rr_ref[sl, :] = state[9]
+            rg_ref[sl, :] = state[10]
+            rb_ref[sl, :] = state[11]
+            return _
+
+        if n_sub == 1:
+            block(0, None)
+        else:
+            jax.lax.fori_loop(0, n_sub, block, None)
+        if collect_stats:
+            # per-tile [nodes/clusters tested, leaves entered, prims
+            # tested, alive bounces]
+            for k in range(4):
+                stats_out[0, k] = stats_scr[k]
+            for k in range(4, 8):
+                stats_out[0, k] = jnp.int32(0)
 
     return kernel
 
@@ -1157,7 +1438,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds", "nee",
-                     "itri_vmem"))
+                     "itri_vmem", "sub_rows", "collect_stats"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -1168,9 +1449,13 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  interpret: bool = False, rr_depth: int = 0,
                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                  nee: bool = False, inst=None, itri_vmem: bool = False,
+                 sub_rows: int = 0, collect_stats: bool = False,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
-    keying the per-ray RNG stream. Returns (R,3) radiance."""
+    keying the per-ray RNG stream. Returns (R,3) radiance; with
+    collect_stats also an (n_tiles, 8) i32 per-tile counter table
+    [nodes/clusters slab-tested, leaves entered, prims tested, alive
+    bounces, 0...] for the traversal diagnostics harness."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1196,7 +1481,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tab_n(quad_tab, vmem_kinds[1]),
                                 tab_n(tri_tab, vmem_kinds[2]),
                                 sky, rr_depth, vmem_kinds, nee, n_lights,
-                                n_inst, itri_vmem)
+                                n_inst, itri_vmem, sub_rows, collect_stats)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1214,20 +1499,32 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         inst_specs = [vmem_full if itri_vmem else smem, smem, smem, smem]
         inst_arrays = list(inst)
+    out_specs = [ray_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
+                 ] * 3
+    scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
+    if collect_stats:
+        out_specs.append(pl.BlockSpec((1, 8), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 8), jnp.int32))
+        scratch.append(pltpu.SMEM((8,), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 7, *tab_specs,
                   smem, smem, smem, smem, smem, *inst_specs],
-        out_specs=[ray_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
-                   ] * 3,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interp,
     )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
       mats, lights, *inst_arrays)
 
-    rr, rg, rb = out
-    return jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
+    rr, rg, rb = out[:3]
+    rad = jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
+    if collect_stats:
+        return rad, out[3]
+    return rad
 
 
 # ---------------------------------------------------------------------------
@@ -1249,11 +1546,11 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
         if n_inst > 0:
             (itri_ref, iacc_ref, ibox_ref, inst_ref,
              oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
-             rro, rgo, rbo, alive_o) = rest
+             rro, rgo, rbo, alive_o, stack_ref) = rest
             inst_refs = (itri_ref, iacc_ref, ibox_ref, inst_ref)
         else:
             (oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
-             rro, rgo, rbo, alive_o) = rest
+             rro, rgo, rbo, alive_o, stack_ref) = rest
             inst_refs = None
         tile = pl.program_id(0)
         shape = (rows, LANES)
@@ -1281,7 +1578,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             make_reader(quad_ref, vmem_kinds[1]),
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem)
+            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
+            stack_ref)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -1375,6 +1673,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
       mats, lights, *inst_arrays)

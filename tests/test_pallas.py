@@ -40,7 +40,7 @@ def test_scene_tables_shapes():
     assert sph.shape[0] == 7 and sph.shape[1] == scene.sph_radius.shape[0]
     assert quad.shape[0] == 15
     assert tri.shape[0] == 28
-    assert mats.shape[0] == 9
+    assert mats.shape[0] == 5
     # valid rows mark the padding correctly
     assert sph[4].sum() == 108  # 100 balls + 8 emissive
     assert quad[12].sum() == 1
@@ -146,3 +146,111 @@ def test_cluster_tree_structure():
         assert len(span_leaves) > 0
         assert (tree[:3, span_leaves] >= tree[:3, s:s+1] - 1e-5).all()
         assert (tree[3:6, span_leaves] <= tree[3:6, s:s+1] + 1e-5).all()
+
+
+def test_cluster_stack_tree_structure():
+    """Ordered (explicit-pointer) BVH well-formedness: every node
+    reachable exactly once from the root, leaves partition the primitive
+    range, children contained in parents, left child nearer along the
+    stored split axis."""
+    import numpy as np
+
+    from parallelraytracing_tpu.ops.pallas_trace import (
+        _cluster_bounds, _cluster_stack_tree)
+
+    rng = np.random.default_rng(11)
+    n = 640
+    mn = rng.uniform(-30, 30, (n, 3))
+    mx = mn + rng.uniform(0.1, 5.0, (n, 3))
+    csize = 8
+    t = _cluster_stack_tree(_cluster_bounds(mn, mx, csize), n, csize)
+    m = t.shape[1]
+    leaf = t[6] < 0
+    cover = np.zeros(n, np.int32)
+    for s in np.nonzero(leaf)[0]:
+        cover[int(t[7, s]):int(t[8, s])] += 1
+    assert (cover == 1).all()
+    seen = np.zeros(m, np.int32)
+    stack = [0]
+    while stack:
+        s = stack.pop()
+        seen[s] += 1
+        if t[6, s] >= 0:
+            stack += [int(t[6, s]), int(t[7, s])]
+    assert (seen == 1).all()
+    for s in np.nonzero(~leaf)[0]:
+        l, r, ax = int(t[6, s]), int(t[7, s]), int(t[8, s])
+        for c in (l, r):
+            assert (t[:3, c] >= t[:3, s] - 1e-5).all()
+            assert (t[3:6, c] <= t[3:6, s] + 1e-5).all()
+        cl_ = (t[:3, l] + t[3:6, l]) * 0.5
+        cr = (t[:3, r] + t[3:6, r]) * 0.5
+        assert cl_[ax] <= cr[ax] + 1e-9
+
+
+def test_traversal_modes_bit_identical():
+    """linear / tree / ordered traversals are different SEARCH orders of
+    the same closest-hit problem: images must be bit-identical."""
+    import numpy as np
+
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+
+    def run(accel):
+        cfg = small_cfg()
+        scene = Scene(ScenePreset.RANDOM_BALLS_SMALL)
+        film = Film(cfg.width, cfg.height)
+        r = FusedRenderer.__new__(FusedRenderer)
+        r.accel = accel
+        r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+        for _ in range(2):
+            r.progressive_render()
+        return np.asarray(film.hdr_average())
+
+    a = run("linear")
+    assert np.array_equal(a, run("tree"))
+    assert np.array_equal(a, run("ordered"))
+
+
+def test_collect_stats_counters():
+    """collect_stats returns sane per-tile counters: radiance unchanged,
+    prims tested >= leaves entered, alive bounces within depth budget."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+    from parallelraytracing_tpu.engines.megakernel import raygen
+    from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_trace
+
+    cfg = small_cfg()
+    scene = Scene(ScenePreset.RANDOM_BALLS_SMALL)
+    film = Film(cfg.width, cfg.height)
+    r = FusedRenderer.__new__(FusedRenderer)
+    r.accel = "tree"
+    r.init(film, scene, default_camera(cfg.width, cfg.height), cfg)
+    base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), jnp.uint32(0))
+    skey = jax.random.fold_in(base, jnp.uint32(0))
+    k_jit, k_path = jax.random.split(skey)
+    o, d = raygen(r._cam_params, k_jit, cfg.width, cfg.height, cfg.jitter)
+    rc = cfg.pixel_count
+    pad = (-rc) % (r.rows * LANES)
+    o = jnp.pad(o, ((0, pad), (0, 0)))
+    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    pix = jnp.pad(r._perm.astype(jnp.float32), (0, pad)) if r._perm is not None \
+        else jnp.pad(jnp.arange(rc, dtype=jnp.float32), (0, pad))
+    seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
+                                           jnp.int32)], jnp.int32)
+    sky = tuple(float(x) for x in np.asarray(r._scene_data.sky))
+    args = (o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab, r._sph_cl,
+            r._quad_cl, r._tri_cl, r._mats, r._lights_tab, seed)
+    kw = dict(rows=r.rows, max_depth=cfg.max_depth, t_min=cfg.t_min,
+              t_max=cfg.t_max, sky=sky, interpret=r._interpret,
+              vmem_kinds=r._vmem_kinds)
+    plain = pallas_trace(*args, **kw)
+    rad, stats = pallas_trace(*args, collect_stats=True, **kw)
+    assert np.array_equal(np.asarray(plain), np.asarray(rad))
+    s = np.asarray(stats)
+    assert (s[:, 0] >= s[:, 1]).all()        # visited >= entered
+    assert (s[:, 2] >= s[:, 1]).all()        # prims >= leaves
+    assert (s[:, 3] >= 1).all() and (s[:, 3] <= cfg.max_depth).all()
+    assert s[:, 2].sum() > 0
