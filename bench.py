@@ -115,7 +115,7 @@ def main() -> None:
                 r._sph_cl, r._quad_cl, r._tri_cl, r._mats, r._lights_tab,
                 seed, r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
                 r._interpret, cfg.russian_roulette_depth, r._vmem_kinds,
-                r._nee))
+                r._nee, tri_cold=getattr(r, "_tri_cold", None)))
         return total / n_frames
 
     results = {}

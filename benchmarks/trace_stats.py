@@ -71,7 +71,8 @@ def stats_for(scene, cam, cfg, accel="auto", frame=1):
         r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
         interpret=r._interpret, rr_depth=cfg.russian_roulette_depth,
         vmem_kinds=r._vmem_kinds, nee=r._nee, inst=r._inst,
-        itri_vmem=r._itri_vmem, collect_stats=True)
+        itri_vmem=r._itri_vmem, collect_stats=True,
+        tri_cold=r._tri_cold, itri_cold=r._itri_cold)
     return np.asarray(rad), np.asarray(stats)
 
 

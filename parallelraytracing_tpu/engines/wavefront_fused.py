@@ -94,7 +94,8 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
                     interpret: bool = False, rr_depth: int = 0,
                     vmem_kinds=(False, False, False),
                     sort_rays: str = "octant", nee: bool = False,
-                    inst=None, itri_vmem: bool = False):
+                    inst=None, itri_vmem: bool = False,
+                    tri_cold=None, itri_cold=None):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
@@ -127,7 +128,7 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
             pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
             sph_cl, quad_cl, tri_cl, mats, lights, scalars,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
-            vmem_kinds, nee, inst, itri_vmem)
+            vmem_kinds, nee, inst, itri_vmem, tri_cold, itri_cold)
         state = list(state)
         alive_p = alive
 
@@ -168,7 +169,7 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
                      t_min: float, t_max: float, sky,
                      interpret: bool = False, rr_depth: int = 0,
                      vmem_kinds=(False, False, False),
-                     nee: bool = False) -> jax.Array:
+                     nee: bool = False, tri_cold=None) -> jax.Array:
     """EXACT ray count of one frame: camera rays + rays alive entering
     every later bounce, measured by stepping the SAME pixel-keyed PCG
     streams the Pallas engines trace (single-bounce segments, no
@@ -199,7 +200,7 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
             pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
             sph_cl, quad_cl, tri_cl, mats, lights, scalars,
             rows, 1, t_min, t_max, sky, interpret, rr_depth, vmem_kinds,
-            nee)
+            nee, tri_cold=tri_cold)
         state = list(state)
         alive_p = alive
         # Compact survivors to the front (in_q masks the first `count`
@@ -242,6 +243,7 @@ class WavefrontFusedRenderer(Renderer):
         from parallelraytracing_tpu.ops.nee import extract_lights
         from parallelraytracing_tpu.ops.pallas_trace import (
             pack_instance_tables, pack_lights_table, to_vmem_rows)
+        from parallelraytracing_tpu.ops.pallas_trace import plan_table
         if getattr(self._scene, "instances", None):
             # In-kernel TLAS/BLAS (same path as the fused engine).
             base = self._scene.build(bake_instances=False)
@@ -253,34 +255,61 @@ class WavefrontFusedRenderer(Renderer):
             itri, iacc, ibox, inst = pack_instance_tables(
                 self._scene._inst_meshes, self._scene.instances, ord_base,
                 ordered=(self.accel == "ordered"))
-            self._itri_vmem = itri.shape[1] > self.vmem_threshold
-            if self._itri_vmem:
-                itri = to_vmem_rows(itri)
-            self._inst = tuple(jax.device_put(jnp.asarray(a))
-                               for a in (itri, iacc, ibox, inst))
         else:
             host_scene = jax.device_get(self._scene_data)
-            self._inst = None
-            self._itri_vmem = False
+            itri = None
         sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
             host_scene, accel=self.accel)
         self._nee = bool(self.config.nee
                          and extract_lights(host_scene) is not None)
-        self._lights_tab = jax.device_put(
-            jnp.asarray(pack_lights_table(host_scene)))
+        lights = pack_lights_table(host_scene)
+        self._lights_tab = jax.device_put(jnp.asarray(lights))
         self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
         self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
         self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
         self._mats = jax.device_put(jnp.asarray(mats))
         tabs = []
         kinds = []
-        for tab in (sph, quad, tri):
+        for tab in (sph, quad):
             vm = tab.shape[1] > self.vmem_threshold
             kinds.append(vm)
             tabs.append(jax.device_put(jnp.asarray(
                 to_vmem_rows(tab) if vm else tab)))
-        self._sph_tab, self._quad_tab, self._tri_tab = tabs
-        self._vmem_kinds = tuple(kinds)
+        self._sph_tab, self._quad_tab = tabs
+
+        from parallelraytracing_tpu.ops.pallas_trace import \
+            smem_padded_bytes
+
+        def smem_sz(a, vm=False):
+            if a is None or vm:
+                return 0
+            return smem_padded_bytes(np.asarray(a).shape)
+
+        other = sum(smem_sz(a) for a in (sph_cl, quad_cl, tri_cl, mats,
+                                         lights)) \
+            + smem_sz(sph, kinds[0]) + smem_sz(quad, kinds[1])
+        if itri is not None:
+            other += sum(smem_padded_bytes(a.shape)
+                         for a in (iacc, ibox, inst))
+        tri_tab, tri_cold, tri_vm, _ = plan_table(
+            tri, 16, other, self.vmem_threshold)
+        self._tri_tab = jax.device_put(jnp.asarray(tri_tab))
+        self._tri_cold = (None if tri_cold is None
+                          else jax.device_put(jnp.asarray(tri_cold)))
+        self._vmem_kinds = (kinds[0], kinds[1], tri_vm)
+
+        if itri is not None:
+            other += smem_sz(tri_tab, tri_vm)
+            itri_tab, itri_cold, self._itri_vmem, _ = plan_table(
+                itri, 16, other, self.vmem_threshold)
+            self._itri_cold = (None if itri_cold is None
+                               else jax.device_put(jnp.asarray(itri_cold)))
+            self._inst = tuple(jax.device_put(jnp.asarray(a))
+                               for a in (itri_tab, iacc, ibox, inst))
+        else:
+            self._inst = None
+            self._itri_vmem = False
+            self._itri_cold = None
         self._interpret = not _on_tpu()
         cfg = self.config
         perm, inv = morton_pixel_perm(cfg.width, cfg.height)
@@ -330,6 +359,7 @@ class WavefrontFusedRenderer(Renderer):
                 cfg.t_min, cfg.t_max, sky, self._bb,
                 self._interpret, cfg.russian_roulette_depth,
                 self._vmem_kinds, self.sort_rays, self._nee,
-                self._inst, self._itri_vmem)
+                self._inst, self._itri_vmem,
+                self._tri_cold, self._itri_cold)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -45,8 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallelraytracing_tpu.core.scene import (
-    KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE,
-    MAT_DIELECTRIC, MAT_EMISSIVE, MAT_LAMBERTIAN, MAT_METAL, SceneData)
+    KIND_SPHERE, MAT_DIELECTRIC, MAT_EMISSIVE, MAT_LAMBERTIAN, MAT_METAL,
+    SceneData)
 
 LANES = 128
 TWO_PI = 2.0 * math.pi
@@ -63,9 +63,11 @@ import os as _os
 # Primitives per SMEM culling cluster.  Per-kind: the sphere/quad linear
 # scan amortizes best at 16 (measured, RESULTS.md); triangle meshes go
 # through the cluster-BVH walk where smaller leaves pay (fewer tested
-# prims per entered leaf) — 8 measured 1.6x on the bunny.
+# prims per entered leaf) — 8 measured 1.6x on the bunny in round 2,
+# 4 another +15% this session (leaf tests are ~75% of mesh frames,
+# trace_stats).
 CLUSTER = int(_os.environ.get("PRT_CLUSTER", "16"))
-TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "8"))
+TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "4"))
 
 
 def _cluster_bounds(mn: np.ndarray, mx: np.ndarray,
@@ -88,16 +90,18 @@ def _cluster_bounds(mn: np.ndarray, mx: np.ndarray,
 
 def _cluster_tree(cl: np.ndarray, n_prims: int,
                   csize: int = None) -> np.ndarray:
-    """(6, n_cl) cluster-union bounds -> (9, M) threaded BVH table.
+    """(6, n_cl) cluster-union bounds -> (8, M) threaded BVH table.
 
     The in-kernel acceleration structure (the role of the reference's
     OptiX GAS, optix/renderer.cpp:703-831): a Karras radix tree built over
     the Morton-run clusters, flattened to threaded preorder so a
     whole-tile lockstep walk needs no stack.  Layout per node column:
     rows 0-5 AABB (min xyz, max xyz), row 6 miss link (-1 terminates),
-    row 7 leaf primitive-range start (-1 for internal nodes), row 8 range
-    end.  Links are stored as f32 (exact below 2^24 — node counts are
-    bounded far under that).  M = 2*n_cl - 1."""
+    row 7 packed leaf range lo*64 + span (-1 for internal nodes; span
+    < 64 asserted — cluster sizes are <= 32).  Everything is f32 (exact
+    below 2^24).  8 rows exactly because SMEM windows pad rows to
+    multiples of 8 (smem_padded_bytes) — a 9th row would cost 2x.
+    M = 2*n_cl - 1."""
     from parallelraytracing_tpu.accel.lbvh import (_karras_tree, morton3d,
                                                    thread_tree)
     csize = csize or CLUSTER
@@ -107,11 +111,11 @@ def _cluster_tree(cl: np.ndarray, n_prims: int,
     emn = np.minimum(cl[:3], cl[3:]).T.astype(np.float64)  # (n_cl, 3)
     emx = np.maximum(cl[:3], cl[3:]).T.astype(np.float64)
     if n_cl == 1:
-        out = np.zeros((9, 1), np.float32)
+        assert n_prims < 64
+        out = np.zeros((8, 1), np.float32)
         out[:6, 0] = cl[:, 0]
         out[6, 0] = -1.0
-        out[7, 0] = 0.0
-        out[8, 0] = float(n_prims)
+        out[7, 0] = float(n_prims)  # lo = 0, span = n_prims
         return out
 
     cen = (emn + emx) * 0.5
@@ -125,16 +129,19 @@ def _cluster_tree(cl: np.ndarray, n_prims: int,
     is_leaf, payload, miss = thread_tree(left, right, n_cl)
 
     m = 2 * n_cl - 1
-    out = np.zeros((9, m), np.float32)
+    out = np.zeros((8, m), np.float32)
     node_mn = np.zeros((m, 3))
     node_mx = np.zeros((m, 3))
     leaf_slots = np.nonzero(is_leaf)[0]
     src = order[payload[leaf_slots]]          # cluster id per leaf
     node_mn[leaf_slots] = emn[src]
     node_mx[leaf_slots] = emx[src]
+    lo_p = src * csize
+    span = np.minimum(lo_p + csize, n_prims) - lo_p
+    assert csize < 64 and (span >= 0).all() \
+        and (lo_p * 64 + span < (1 << 24)).all()
     out[7] = -1.0
-    out[7, leaf_slots] = src * csize
-    out[8, leaf_slots] = np.minimum(src * csize + csize, n_prims)
+    out[7, leaf_slots] = lo_p * 64 + span
 
     # Internal AABBs: reverse-preorder stack sweep (children precede their
     # parent when walking preorder backwards).
@@ -258,7 +265,7 @@ def _cluster_stack_tree(cl: np.ndarray, n_prims: int,
 
 
 def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
-                   eye, csize: int = None) -> tuple:
+                   eye, csize: int = None, pad_col=None) -> tuple:
     """Reorder a kind's primitive table in CLUSTER blocks so clusters are
     visited nearest-the-eye first, and return (tab, cluster_bounds).
 
@@ -274,7 +281,14 @@ def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
     n = tab.shape[1]
     pad = (-n) % csize
     if pad:
-        padcols = np.zeros((tab.shape[0], pad), np.float32)  # valid=0
+        # pad columns must be NEVER-HIT geometry (see pack_scene_tables:
+        # zeros suffice for quads/triangles; spheres need r2 = -1 via
+        # pad_col); their cluster boxes are inverted below either way.
+        if pad_col is None:
+            padcols = np.zeros((tab.shape[0], pad), np.float32)
+        else:
+            padcols = np.tile(np.asarray(pad_col, np.float32)[:, None],
+                              (1, pad))
         tab = np.concatenate([tab, padcols], axis=1)
         mn2 = np.concatenate([mn2, np.ones((pad, 3))])
         mx2 = np.concatenate([mx2, -np.ones((pad, 3))])
@@ -316,10 +330,14 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     (default) picks per kind by cluster count (TREE_THRESHOLD).  The
     kernel dispatches on shape[0], so all are drop-in.
 
-    sph_tab  (7, Ns):  cx cy cz r2 valid mid ord
-    quad_tab (15, Nq): n(3) cn us(3) cu vs(3) cv valid mid ord
-    tri_tab  (28, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3)
-                       n0(3) n1(3) n2(3) valid mid ord
+    sph_tab  (6, Ns):  cx cy cz r2 mid ord
+    quad_tab (14, Nq): n(3) cn us(3) cu vs(3) cv mid ord
+    tri_tab  (27, Nt): ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) mid ord
+                       n0(3) n1(3) n2(3)
+    There is NO per-primitive valid flag: invalid/padding primitives are
+    encoded as never-hit geometry (sphere r2 = -1, quad zero-normal +
+    out-of-extent centers, triangle zero geometric normal), so the hot
+    test bodies skip the flag read and mask entirely.
     mats     (5, Nm):  mtype c(3) extra — a compressed material record
                        exploiting BSDF exclusivity: c carries EMISSION for
                        emissive materials (their attenuation is never used:
@@ -364,7 +382,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
     n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
 
-    def accelerate(tab, cl, mn2, mx2, n, csize=None):
+    def accelerate(tab, cl, mn2, mx2, n, csize=None, pad_col=None):
         """Per-kind acceleration-table choice (see docstring)."""
         csize = csize or CLUSTER
         if accel == "ordered":
@@ -373,8 +391,27 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
                                and cl.shape[1] > TREE_THRESHOLD):
             return tab, _cluster_tree(cl, n, csize)
         if eye is not None and cl.shape[1] > 1:
-            return _front_to_back(tab, mn2, mx2, eye, csize)
-        return tab, cl
+            tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
+            return tab, _append_root(cl, mn2, mx2)
+        return tab, _append_root(cl, mn2, mx2)
+
+    def _append_root(cl, mn2, mx2):
+        """Append the kind's union (root) AABB as the LAST column of a
+        linear cluster table: one scalar-predicated slab test lets a
+        bounce whose rays all miss the kind (sky-bound tail) skip every
+        per-cluster test — the root-exit the tree walks get for free.
+        The kernel indexes it at the static cluster count; excluded
+        (invalid-padded) primitives carry inverted boxes and are left
+        out of the union."""
+        valid = (mn2 <= mx2).all(1)
+        root = np.zeros((6, 1), np.float32)
+        if valid.any():
+            root[:3, 0] = mn2[valid].min(0)
+            root[3:, 0] = mx2[valid].max(0)
+        else:
+            root[:3, 0] = 1.0
+            root[3:, 0] = -1.0
+        return np.concatenate([cl, root], axis=1)
 
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
@@ -382,16 +419,21 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     s_mn, s_mx = geo.sphere_aabb(c.astype(np.float64), r.astype(np.float64))
     s_ord = morton_order(s_mn, s_mx)
     c, r, sv = c[s_ord], r[s_ord], sv[s_ord]
+    # Invalid primitives are encoded as NEVER-HIT GEOMETRY instead of a
+    # carried valid flag (saves a scalar read + 2 vector ops per test):
+    # r2 = -1 makes the sphere discriminant provably negative
+    # (|d.oc|^2 <= |oc|^2 < |oc|^2 + 1).
+    r2 = np.where(sv, r * r, -1.0).astype(np.float32)
     sph = np.concatenate([
-        c.T, (r * r)[None],
-        sv.astype(np.float32)[None],
+        c.T, r2[None],
         mat_cols(np.asarray(scene.sph_mat)[s_ord]),
         s_ord.astype(np.float32)[None]], axis=0)
     # invalid pads get inverted boxes so their cluster test can't pass
     s_mn2 = np.where(sv[:, None], s_mn[s_ord], np.float64(1.0))
     s_mx2 = np.where(sv[:, None], s_mx[s_ord], np.float64(-1.0))
     sph, sph_cl = accelerate(sph, _cluster_bounds(s_mn2, s_mx2),
-                             s_mn2, s_mx2, len(sv))
+                             s_mn2, s_mx2, len(sv),
+                             pad_col=np.array([0, 0, 0, -1, 0, 0]))
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
@@ -407,9 +449,17 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     cn = (qc * qn).sum(1)
     cu = (qc * us).sum(1)
     cv = (qc * vs).sum(1)
+    # Invalid quads: zero normal fails |d.n| >= 1e-8 and cu/cv = 2 fails
+    # the extent test — never-hit without a valid flag.
+    qm = qvd[:, None]
+    qn = np.where(qm, qn, 0.0)
+    us = np.where(qm, us, 0.0)
+    vs = np.where(qm, vs, 0.0)
+    cn = np.where(qvd, cn, 0.0)
+    cu = np.where(qvd, cu, 2.0)
+    cv = np.where(qvd, cv, 2.0)
     quad = np.concatenate([
         qn.T, cn[None], us.T, cu[None], vs.T, cv[None],
-        qvd.astype(np.float32)[None],
         mat_cols(np.asarray(scene.quad_mat)[q_ord]),
         (q_ord + n_sph_full).astype(np.float32)[None]], axis=0)
     q_mn2 = np.where(qvd[:, None], q_mn[q_ord], np.float64(1.0))
@@ -432,14 +482,20 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     e2xp0 = np.cross(e2, v0)
     p0xe1 = np.cross(v0, e1)
     tvd = np.asarray(scene.tri_valid)[t_ord]
+    # Invalid triangles: zero geometric normal makes div == 0 -> miss.
+    ng = np.where(tvd[:, None], ng, 0.0)
+    p0ng = np.where(tvd, p0ng, 0.0)
+    # HOT rows (0-15: the per-test geometry) lead; COLD rows (16-26:
+    # mid, ord, vertex normals — read only at fold time) trail, so the
+    # hot half can live in SMEM while the rest rides VMEM rows (the
+    # hot/cold split; 16 avoids the pad-to-24 an 18-row window costs).
     tri = np.concatenate([
         ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
+        mat_cols(np.asarray(scene.tri_mat)[t_ord]),
+        (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None],
         np.asarray(scene.tri_n0, np.float32)[t_ord].T,
         np.asarray(scene.tri_n1, np.float32)[t_ord].T,
-        np.asarray(scene.tri_n2, np.float32)[t_ord].T,
-        tvd.astype(np.float32)[None],
-        mat_cols(np.asarray(scene.tri_mat)[t_ord]),
-        (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None]], axis=0)
+        np.asarray(scene.tri_n2, np.float32)[t_ord].T], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri, tri_cl = accelerate(tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
@@ -482,10 +538,10 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
     4x4 world transform) records (Scene.instances); ord_base: first free
     global ordinal (tie-break ids beyond every flat primitive).
 
-    Returns (itri (26, Nt), iacc (9, Mb), ibox (6, Ni), inst (24, Ni)):
+    Returns (itri (25, Nt), iacc (9, Mb), ibox (6, Ni), inst (24, Ni)):
     - itri: LOCAL-space triangle geometry concatenated across unique
       meshes, Morton-sorted in TRI_CLUSTER runs per mesh
-      [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3) valid];
+      [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3)];
     - iacc: per-mesh cluster-BVHs over the local triangles, concatenated
       with GLOBAL child/range indices; the threaded escape-link layout
       by default (miss -1 exits back to the TLAS), or the
@@ -525,7 +581,7 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
         nt = len(v0)
         tab = np.concatenate([
             ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
-            n0.T, n1.T, n2.T, np.ones((1, nt))], axis=0).astype(np.float32)
+            n0.T, n1.T, n2.T], axis=0).astype(np.float32)
         cl = _cluster_bounds(mn, mx, TRI_CLUSTER)
         if ordered:
             # explicit-pointer layout: child columns shift by node_off,
@@ -538,12 +594,12 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             tree[8, leaf] += tri_off
         else:
             tree = _cluster_tree(cl, nt, TRI_CLUSTER).copy()
-            # globalize links: leaf ranges shift by tri_off, miss by
-            # node_off (-1 stays -1 = exit the BLAS).
+            # globalize links: leaf ranges shift by tri_off (row 7 packs
+            # lo*64 + span, so lo shifts as tri_off*64), miss by node_off
+            # (-1 stays -1 = exit the BLAS).
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
             leaf = tree[7] >= 0
-            tree[7, leaf] += tri_off
-            tree[8, leaf] += tri_off
+            tree[7, leaf] += tri_off * 64
         itri_cols.append(tab)
         iacc_cols.append(tree)
         mesh_root.append(node_off)
@@ -621,7 +677,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       nee: bool = False, n_lights: int = 0,
                       inst_refs=None, n_inst: int = 0,
                       itri_vmem: bool = False, stack_ref=None,
-                      stats_ref=None):
+                      stats_ref=None, tri_cold_get=None,
+                      itri_cold_get=None):
     f0 = jnp.zeros(shape, jnp.float32)
 
     # Does any acceleration table use the ordered (10, M) layout?  Static:
@@ -630,6 +687,13 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
     if inst_refs is not None:
         _acc_tabs.append(inst_refs[1])
     ordered_any = any(t is not None and t.shape[0] == 10 for t in _acc_tabs)
+
+    # t_max is static; at the default "infinite" horizon the upper-bound
+    # compare is vacuous — drop it from every per-primitive test.
+    tmax_inf = t_max >= 1e30
+
+    def tcap(ok, t):
+        return ok if tmax_inf else ok & (t <= t_max)
 
     def mat_of(mid):
         """Material constants via one SMEM indirection (mid is the f32
@@ -813,18 +877,19 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     miss_l = tref[6, node].astype(jnp.int32)
                     lo_f = tref[7, node]
                     is_leaf = lo_f >= 0.0
+                    # row 7 packs lo*64 + span (_cluster_tree layout)
+                    enc = lo_f.astype(jnp.int32)
 
                     def do_leaf(c):
-                        lo = lo_f.astype(jnp.int32)
-                        hi = tref[8, node].astype(jnp.int32)
+                        lo = enc >> 6
+                        hi = lo + (enc & 63)
                         return jax.lax.fori_loop(lo, hi, body, c)
 
                     if stats_ref is not None:
                         stats_ref[0] = stats_ref[0] + 1  # nodes visited
                         enter = (any_hit & is_leaf).astype(jnp.int32)
-                        span = (tref[8, node] - lo_f).astype(jnp.int32)
                         stats_ref[1] = stats_ref[1] + enter  # leaves entered
-                        stats_ref[2] = stats_ref[2] + enter * span  # prims
+                        stats_ref[2] = stats_ref[2] + enter * (enc & 63)
 
                     carry = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                          lambda c: c, carry)
@@ -850,7 +915,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 if cl_ref.shape[0] == 10:
                     return stack_walk(cl_ref, body, carry, slab_any_hit,
                                       sgn_w)
-                if cl_ref.shape[0] == 9:
+                if cl_ref.shape[0] == 8:
                     return tree_walk(cl_ref, body, carry)
 
                 def cl_body(ci, carry):
@@ -869,16 +934,27 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
                     return jax.lax.cond(pred, do, lambda c: c, carry)
 
-                return jax.lax.fori_loop(0, n_cl, cl_body, carry)
+                # Root pretest: the kind's union AABB rides the table as
+                # the extra column at index n_cl (pack-side _append_root);
+                # one slab test skips the whole per-cluster scan for
+                # bounces whose live rays all miss the kind (the
+                # sky-bound tail) — the root-exit tree walks get free.
+                root_ok = slab_any_hit(cl_ref, n_cl, carry[0])
+                if stats_ref is not None:
+                    stats_ref[0] = stats_ref[0] + 1
+
+                def scan(c):
+                    return jax.lax.fori_loop(0, n_cl, cl_body, c)
+
+                return jax.lax.cond(root_ok, scan, lambda c: c, carry)
 
             # --- spheres (shape.h:157-203 semantics)
             def sph_body(j, carry):
                 g = sph_get(j)
                 cx = g(0); cy = g(1); cz = g(2)
                 r2 = g(3)
-                valid = g(4)
-                mat = mat_of(g(5))
-                ordv = g(6)
+                mat = mat_of(g(4))
+                ordv = g(5)
                 ocx = ox - cx; ocy = oy - cy; ocz = oz - cz
                 b2 = dx * ocx + dy * ocy + dz * ocz
                 cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
@@ -888,7 +964,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 t_far = -b2 + sq
                 fr = (t_near >= t_min).astype(jnp.float32)
                 t = jnp.where(fr > 0, t_near, t_far)
-                ok = (disc >= 0.0) & (t >= t_min) & (t <= t_max) & (valid > 0)
+                # no valid test: invalid prims pack r2 = -1 (never hits)
+                ok = tcap((disc >= 0.0) & (t >= t_min), t)
                 # Deferred normal: carry the center; normal = normalize(p - c)
                 # reconstructed after the fold.
                 flags = fr + (2.0 + 4.0 * mat[0])  # front | sphere | type
@@ -906,9 +983,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 cu = g(7)
                 vsx = g(8); vsy = g(9); vsz = g(10)
                 cv = g(11)
-                valid = g(12)
-                mat = mat_of(g(13))
-                ordv = g(14)
+                mat = mat_of(g(12))
+                ordv = g(13)
                 dn = dx * qnx + dy * qny + dz * qnz
                 on = ox * qnx + oy * qny + oz * qnz
                 denom_ok = jnp.abs(dn) >= 1e-8
@@ -918,8 +994,10 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     + t * (dx * usx + dy * usy + dz * usz) - cu
                 b = (ox * vsx + oy * vsy + oz * vsz) \
                     + t * (dx * vsx + dy * vsy + dz * vsz) - cv
-                ok = denom_ok & (t > t_min) & (t <= t_max) \
-                    & (a * a < 1.0) & (b * b < 1.0) & (valid > 0)
+                # no valid test: invalid quads pack zero normals (fails
+                # denom_ok) and cu = cv = 2 (fails the extent test)
+                ok = tcap(denom_ok & (t > t_min)
+                          & (a * a < 1.0) & (b * b < 1.0), t)
                 fr = (on - cn > 0.0).astype(jnp.float32)
                 # Deferred normal: raw unit plane normal; front-face sign is
                 # applied after the fold.
@@ -942,12 +1020,16 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 e2x, e2y, e2z = g(7), g(8), g(9)
                 xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
                 pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
-                n0x, n0y, n0z = g(16), g(17), g(18)
-                n1x, n1y, n1z = g(19), g(20), g(21)
-                n2x, n2y, n2z = g(22), g(23), g(24)
-                valid = g(25)
-                mat = mat_of(g(26))
-                ordv = g(27)
+                # cold rows (mid, ord, vertex normals): a separate VMEM
+                # table when the hot/cold split is active, else rows
+                # 16-26 of the same ref
+                nc = tri_cold_get(j) if tri_cold_get is not None \
+                    else (lambda k: g(16 + k))
+                mat = mat_of(nc(0))
+                ordv = nc(1)
+                n0x, n0y, n0z = nc(2), nc(3), nc(4)
+                n1x, n1y, n1z = nc(5), nc(6), nc(7)
+                n2x, n2y, n2z = nc(8), nc(9), nc(10)
                 div = -(dx * ngx + dy * ngy + dz * ngz)
                 div_ok = div != 0.0
                 inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
@@ -956,9 +1038,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       - (dx * xpx + dy * xpy + dz * xpz)) * inv
                 b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
                        - (dx * pex + dy * pey + dz * pez)) * inv
-                ok = div_ok & (t >= t_min) & (t <= t_max) \
-                    & (b1 >= 0.0) & (b2_ >= 0.0) & (b1 + b2_ <= 1.0) \
-                    & (valid > 0)
+                # no valid test: invalid tris pack a zero geometric
+                # normal, so div == 0 fails div_ok
+                ok = tcap(div_ok & (t >= t_min)
+                          & (b1 >= 0.0) & (b2_ >= 0.0)
+                          & (b1 + b2_ <= 1.0), t)
                 b0 = 1.0 - b1 - b2_
                 inx = b0 * n0x + b1 * n1x + b2_ * n2x
                 iny = b0 * n0y + b1 * n1y + b2_ * n2y
@@ -1027,10 +1111,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                             e2x, e2y, e2z = g(7), g(8), g(9)
                             xpx, xpy, xpz = g(10), g(11), g(12)
                             pex, pey, pez = g(13), g(14), g(15)
-                            n0x, n0y, n0z = g(16), g(17), g(18)
-                            n1x, n1y, n1z = g(19), g(20), g(21)
-                            n2x, n2y, n2z = g(22), g(23), g(24)
-                            valid = g(25)
+                            nc = itri_cold_get(j) if itri_cold_get \
+                                is not None else (lambda k: g(16 + k))
+                            n0x, n0y, n0z = nc(0), nc(1), nc(2)
+                            n1x, n1y, n1z = nc(3), nc(4), nc(5)
+                            n2x, n2y, n2z = nc(6), nc(7), nc(8)
                             div = -(ldx * ngx + ldy * ngy + ldz * ngz)
                             div_ok = div != 0.0
                             inv = jnp.where(
@@ -1044,9 +1129,9 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                             b2_ = (-(lwx * e1x + lwy * e1y + lwz * e1z)
                                    - (ldx * pex + ldy * pey
                                       + ldz * pez)) * inv
-                            ok = div_ok & (t >= t_min) & (t <= t_max) \
-                                & (b1 >= 0.0) & (b2_ >= 0.0) \
-                                & (b1 + b2_ <= 1.0) & (valid > 0)
+                            ok = tcap(div_ok & (t >= t_min)
+                                      & (b1 >= 0.0) & (b2_ >= 0.0)
+                                      & (b1 + b2_ <= 1.0), t)
                             b0 = 1.0 - b1 - b2_
                             inx = b0 * n0x + b1 * n1x + b2_ * n2x
                             iny = b0 * n0y + b1 * n1y + b2_ * n2y
@@ -1336,7 +1421,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sky, rr_depth=0, vmem_kinds=(False, False, False),
                        nee=False, n_lights=0, n_inst=0, itri_vmem=False,
-                       sub_rows=0, collect_stats=False):
+                       sub_rows=0, collect_stats=False,
+                       tri_split=False, itri_split=False):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -1363,10 +1449,17 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
         else:
             stack_ref = rest.pop()
             stats_out = stats_scr = None
+        tri_cold_get = None
+        if tri_split:
+            tri_cold_get = make_reader(rest.pop(0), True)
+        itri_cold_get = None
         if n_inst > 0:
-            (itri_ref, iacc_ref, ibox_ref, inst_ref,
-             rr_ref, rg_ref, rb_ref) = rest
+            itri_ref, iacc_ref, ibox_ref, inst_ref = rest[:4]
+            rest = rest[4:]
+            if itri_split:
+                itri_cold_get = make_reader(rest.pop(0), True)
             inst_refs = (itri_ref, iacc_ref, ibox_ref, inst_ref)
+            rr_ref, rg_ref, rb_ref = rest
         else:
             rr_ref, rg_ref, rb_ref = rest
             inst_refs = None
@@ -1379,7 +1472,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
             lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
-            stack_ref, stats_scr)
+            stack_ref, stats_scr, tri_cold_get, itri_cold_get)
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -1425,11 +1518,16 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             jax.lax.fori_loop(0, n_sub, block, None)
         if collect_stats:
             # per-tile [nodes/clusters tested, leaves entered, prims
-            # tested, alive bounces]
+            # tested, alive bounces] in row 0, lanes 0-3 of an (8, 128)
+            # VMEM block (SMEM outputs can't satisfy the TPU block-shape
+            # rules at multi-tile grids).
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            vals = jnp.zeros((8, LANES), jnp.int32)
             for k in range(4):
-                stats_out[0, k] = stats_scr[k]
-            for k in range(4, 8):
-                stats_out[0, k] = jnp.int32(0)
+                vals = jnp.where((row == 0) & (lane == k),
+                                 stats_scr[k], vals)
+            stats_out[:, :] = vals
 
     return kernel
 
@@ -1450,6 +1548,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                  nee: bool = False, inst=None, itri_vmem: bool = False,
                  sub_rows: int = 0, collect_stats: bool = False,
+                 tri_cold=None, itri_cold=None,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -1481,7 +1580,9 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tab_n(quad_tab, vmem_kinds[1]),
                                 tab_n(tri_tab, vmem_kinds[2]),
                                 sky, rr_depth, vmem_kinds, nee, n_lights,
-                                n_inst, itri_vmem, sub_rows, collect_stats)
+                                n_inst, itri_vmem, sub_rows, collect_stats,
+                                tri_cold is not None,
+                                itri_cold is not None)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1493,37 +1594,46 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
     interp = pltpu.InterpretParams() if interpret else False
+    cold_arrays = []
+    cold_specs = []
+    if tri_cold is not None:
+        cold_arrays.append(tri_cold)
+        cold_specs.append(vmem_full)
     inst_arrays = []
     inst_specs = []
     if inst is not None:
-        vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         inst_specs = [vmem_full if itri_vmem else smem, smem, smem, smem]
         inst_arrays = list(inst)
+        if itri_cold is not None:
+            inst_arrays.append(itri_cold)
+            inst_specs.append(vmem_full)
     out_specs = [ray_spec] * 3
     out_shape = [jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                  ] * 3
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
     if collect_stats:
-        out_specs.append(pl.BlockSpec((1, 8), lambda i: (i, 0),
-                                      memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 8), jnp.int32))
+        out_specs.append(pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles * 8, LANES),
+                                              jnp.int32))
         scratch.append(pltpu.SMEM((8,), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 7, *tab_specs,
-                  smem, smem, smem, smem, smem, *inst_specs],
+                  smem, smem, smem, smem, smem, *cold_specs, *inst_specs],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interp,
     )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights, *inst_arrays)
+      mats, lights, *cold_arrays, *inst_arrays)
 
     rr, rg, rb = out[:3]
     rad = jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
     if collect_stats:
-        return rad, out[3]
+        stats = out[3].reshape(n_tiles, 8, LANES)[:, 0, :8]
+        return rad, stats
     return rad
 
 
@@ -1535,7 +1645,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
 def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          n_tri, sky, rr_depth=0,
                          vmem_kinds=(False, False, False),
-                         nee=False, n_lights=0, n_inst=0, itri_vmem=False):
+                         nee=False, n_lights=0, n_inst=0, itri_vmem=False,
+                         tri_split=False, itri_split=False):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -1543,15 +1654,22 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref, al_ref,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
+        rest = list(rest)
+        stack_ref = rest.pop()
+        tri_cold_get = None
+        if tri_split:
+            tri_cold_get = make_reader(rest.pop(0), True)
+        itri_cold_get = None
         if n_inst > 0:
-            (itri_ref, iacc_ref, ibox_ref, inst_ref,
-             oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
-             rro, rgo, rbo, alive_o, stack_ref) = rest
+            itri_ref, iacc_ref, ibox_ref, inst_ref = rest[:4]
+            rest = rest[4:]
+            if itri_split:
+                itri_cold_get = make_reader(rest.pop(0), True)
             inst_refs = (itri_ref, iacc_ref, ibox_ref, inst_ref)
         else:
-            (oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
-             rro, rgo, rbo, alive_o, stack_ref) = rest
             inst_refs = None
+        (oxo, oyo, ozo, dxo, dyo, dzo, tro, tgo, tbo,
+         rro, rgo, rbo, alive_o) = rest
         tile = pl.program_id(0)
         shape = (rows, LANES)
         seed = scalar_ref[0]
@@ -1579,7 +1697,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
             lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
-            stack_ref)
+            stack_ref, None, tri_cold_get, itri_cold_get)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -1615,7 +1733,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    sky: Tuple[float, float, float],
                    interpret: bool = False, rr_depth: int = 0,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
-                   nee: bool = False, inst=None, itri_vmem: bool = False):
+                   nee: bool = False, inst=None, itri_vmem: bool = False,
+                   tri_cold=None, itri_cold=None):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -1651,7 +1770,9 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   tab_n(quad_tab, vmem_kinds[1]),
                                   tab_n(tri_tab, vmem_kinds[2]),
                                   sky, rr_depth, vmem_kinds, nee, n_lights,
-                                  n_inst, itri_vmem)
+                                  n_inst, itri_vmem,
+                                  tri_cold is not None,
+                                  itri_cold is not None)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1660,23 +1781,31 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
 
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
+    cold_arrays = []
+    cold_specs = []
+    if tri_cold is not None:
+        cold_arrays.append(tri_cold)
+        cold_specs.append(vmem_full)
     inst_arrays = []
     inst_specs = []
     if inst is not None:
         inst_specs = [vmem_full if itri_vmem else smem, smem, smem, smem]
         inst_arrays = list(inst)
+        if itri_cold is not None:
+            inst_arrays.append(itri_cold)
+            inst_specs.append(vmem_full)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 14, *tab_specs,
-                  smem, smem, smem, smem, smem, *inst_specs],
+                  smem, smem, smem, smem, smem, *cold_specs, *inst_specs],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights, *inst_arrays)
+      mats, lights, *cold_arrays, *inst_arrays)
 
     flat = [p.reshape(r) for p in out]
     return flat[:12], flat[12]
@@ -1692,3 +1821,42 @@ def to_vmem_rows(tab: np.ndarray) -> np.ndarray:
     out = np.zeros((n, LANES), np.float32)
     out[:, :c] = tab.T
     return out
+
+
+#: Mosaic SMEM capacity per core (measured: "Used 1.28M of 1.00M smem")
+#: minus headroom for the scalar stack, loop state and compiler slack.
+SMEM_BYTES = 1_048_576
+SMEM_HEADROOM = 96 * 1024
+
+
+def smem_padded_bytes(shape) -> int:
+    """Actual SMEM footprint of a (R, C) f32 window: rows pad to a
+    multiple of 8, columns to a multiple of 128 (measured from compiler
+    OOM reports: f32[18,10000] allocates 970,752 B = 24x10112x4;
+    f32[9,4999] allocates 327,680 B = 16x5120x4)."""
+    r, c = shape
+    return ((r + 7) // 8 * 8) * ((c + 127) // 128 * 128) * 4
+
+
+def plan_table(tab: np.ndarray, hot_rows: int, other_smem_bytes: int,
+               vmem_threshold: int):
+    """Placement plan for a primitive table whose first `hot_rows` rows
+    are read per TEST and whose remainder is read only at fold time.
+
+    Returns (main, cold, vmem_flag, split_flag):
+    - small tables: whole table in SMEM (cold = None);
+    - mid-size: HOT rows as an SMEM table + cold rows as VMEM rows — per
+      tested primitive the kernel does hot_rows scalar loads (overlapped
+      on the scalar core) instead of a dynamic row load + C lane
+      extracts, which measured as the dominant mesh leaf cost
+      (benchmarks/RESULTS.md);
+    - large: everything as VMEM rows (SMEM budget exceeded)."""
+    n = tab.shape[1]
+    if n <= vmem_threshold:
+        return np.ascontiguousarray(tab), None, False, False
+    hot_bytes = smem_padded_bytes((hot_rows, n))
+    if hot_bytes + other_smem_bytes + SMEM_HEADROOM <= SMEM_BYTES:
+        hot = np.ascontiguousarray(tab[:hot_rows])
+        cold = to_vmem_rows(tab[hot_rows:])
+        return hot, cold, False, True
+    return to_vmem_rows(tab), None, True, False

@@ -34,28 +34,38 @@ def small_cfg(**kw):
 
 
 def test_scene_tables_shapes():
+    import numpy as np
+
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
     sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
         scene, accel="linear")
-    assert sph.shape[0] == 7 and sph.shape[1] == scene.sph_radius.shape[0]
-    assert quad.shape[0] == 15
-    assert tri.shape[0] == 28
+    assert sph.shape[0] == 6 and sph.shape[1] == scene.sph_radius.shape[0]
+    assert quad.shape[0] == 14
+    assert tri.shape[0] == 27
     assert mats.shape[0] == 5
-    # valid rows mark the padding correctly
-    assert sph[4].sum() == 108  # 100 balls + 8 emissive
-    assert quad[12].sum() == 1
+    # invalid primitives are encoded as never-hit geometry (r2 = -1 for
+    # spheres, zero normal for quads) instead of a valid flag
+    assert (sph[3] > 0).sum() == 108  # 100 balls + 8 emissive
+    assert ((np.abs(quad[:3]).sum(0) > 0)).sum() == 1
     # ordinal row is a permutation (morton sort)
-    import numpy as np
-    assert sorted(sph[6].astype(int)) == list(range(sph.shape[1]))
+    assert sorted(sph[5].astype(int)) == list(range(sph.shape[1]))
     # material ids address the material table
-    assert (sph[5] >= 0).all() and (sph[5] < mats.shape[1]).all()
-    # cluster AABBs contain their primitives
+    valid_s = sph[3] > 0
+    assert (sph[4][valid_s] >= 0).all() \
+        and (sph[4][valid_s] < mats.shape[1]).all()
+    # cluster AABBs contain their primitives (+1 = the root pretest col)
     from parallelraytracing_tpu.ops.pallas_trace import CLUSTER
     assert sph_cl.shape[0] == 6
-    assert sph_cl.shape[1] == -(-sph.shape[1] // CLUSTER)
-    for c in range(sph_cl.shape[1]):
+    n_cl = -(-sph.shape[1] // CLUSTER)
+    assert sph_cl.shape[1] == n_cl + 1
+    # the root column is the union of the cluster columns
+    assert np.allclose(sph_cl[:3, n_cl],
+                       sph_cl[:3, :n_cl].min(1), atol=1e-5)
+    assert np.allclose(sph_cl[3:, n_cl],
+                       sph_cl[3:, :n_cl].max(1), atol=1e-5)
+    for c in range(n_cl):
         lo, hi = c * CLUSTER, min((c + 1) * CLUSTER, sph.shape[1])
-        valid = sph[4, lo:hi] > 0
+        valid = sph[3, lo:hi] > 0
         if valid.any():
             centers = sph[:3, lo:hi][:, valid]
             radii = np.sqrt(sph[3, lo:hi][valid])
@@ -125,12 +135,14 @@ def test_cluster_tree_structure():
     csize = 8
     cl = _cluster_bounds(mn, mx, csize)
     tree = _cluster_tree(cl, n, csize)
+    assert tree.shape[0] == 8  # row count is an SMEM padding boundary
     m = tree.shape[1]
-    lo = tree[7]
-    hi = tree[8]
+    enc = tree[7]
     miss = tree[6]
-    leaves = lo >= 0
-    # every primitive covered exactly once by the leaf ranges
+    leaves = enc >= 0
+    # row 7 packs lo*64 + span; every primitive covered exactly once
+    lo = (enc.astype(np.int64) >> 6)
+    hi = lo + (enc.astype(np.int64) & 63)
     cover = np.zeros(n, np.int32)
     for s in np.nonzero(leaves)[0]:
         cover[int(lo[s]):int(hi[s])] += 1
