@@ -108,7 +108,7 @@ def main() -> None:
 
     if which in ("both", "bunny"):
         cfg = RenderConfig(width=1920, height=1080, max_depth=20, seed=0)
-        scene = mesh_scene("bunny")
+        scene = mesh_scene(os.environ.get("AB_MESH", "bunny"))
         eye = np.array([0.0, 14.0, 28.0])
         look = np.array([0.0, 7.0, 0.0])
         cam = Camera(eye, look - eye, 1920.0, 1080.0, 100.0)

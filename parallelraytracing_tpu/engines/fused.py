@@ -67,8 +67,9 @@ def morton_pixel_perm(width: int, height: int):
 class FusedRenderer(Renderer):
     name = "fused"
 
-    #: rows per tile: tile = rows*128 rays; VMEM state ~ rows*128*4B*~40
-    rows: int = int(os.environ.get("PRT_ROWS", "16"))
+    #: rows per tile: tile = rows*128 rays; 24 measured best after the
+    #: compressed fold cheapened per-primitive tests (RESULTS.md)
+    rows: int = int(os.environ.get("PRT_ROWS", "24"))
 
     #: in-kernel sub-tile rows: each tile splits into independent
     #: (sub_rows, 128) blocks with their own bounce loop / tree walks /

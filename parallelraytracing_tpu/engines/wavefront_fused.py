@@ -223,10 +223,10 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
 class WavefrontFusedRenderer(Renderer):
     name = "wavefront_fused"
 
-    rows: int = int(os.environ.get("PRT_ROWS", "16"))
+    rows: int = int(os.environ.get("PRT_ROWS", "24"))
 
     #: bounces per Pallas kernel invocation between compaction/sorts.
-    segment: int = int(os.environ.get("PRT_SEGMENT", "4"))
+    segment: int = int(os.environ.get("PRT_SEGMENT", "3"))
 
     #: between-segment re-sort key: "octant" (direction octant major,
     #: origin Morton minor — the default), "origin", or "" (compact only).

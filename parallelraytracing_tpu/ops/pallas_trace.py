@@ -321,11 +321,12 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     code of their AABB centroid so consecutive runs of CLUSTER primitives
     are spatially tight; *_acc is the per-kind acceleration table the
     kernel culls with — "tree" builds a threaded escape-link BVH
-    ((9, M) _cluster_tree layout, fixed preorder); "ordered" an
+    ((8, M) _cluster_tree layout, fixed preorder); "ordered" an
     explicit-pointer BVH walked near-child-first ((10, M)
     _cluster_stack_tree layout — measured a WASH vs "tree": the
     whole-tile any-lane entry rule erases per-ray front-to-back gains,
-    RESULTS.md); "linear" keeps each run's union AABB ((6, n_cl)),
+    RESULTS.md); "linear" keeps each run's union AABB plus a root
+    pretest column ((6, n_cl + 1)),
     scanned with one scalar-predicated slab test per cluster; "auto"
     (default) picks per kind by cluster count (TREE_THRESHOLD).  The
     kernel dispatches on shape[0], so all are drop-in.
@@ -538,7 +539,7 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
     4x4 world transform) records (Scene.instances); ord_base: first free
     global ordinal (tie-break ids beyond every flat primitive).
 
-    Returns (itri (25, Nt), iacc (9, Mb), ibox (6, Ni), inst (24, Ni)):
+    Returns (itri (25, Nt), iacc (8, Mb), ibox (6, Ni), inst (24, Ni)):
     - itri: LOCAL-space triangle geometry concatenated across unique
       meshes, Morton-sorted in TRI_CLUSTER runs per mesh
       [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3)];
@@ -857,7 +858,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
             def tree_walk(tref, body, carry, slab=None, start=0):
                 """Whole-tile lockstep walk of the threaded cluster-BVH
-                ((9, M) _cluster_tree layout).  The in-kernel analogue of the
+                ((8, M) _cluster_tree layout).  The in-kernel analogue of the
                 reference's hardware BVH traversal (optixTrace bounce loop,
                 device_programs.cu:211-229), vectorized TPU-style: ONE scalar
                 cursor per tile; descend to the preorder child when ANY live
@@ -904,8 +905,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
             def clustered(n, cl_ref, body, carry, csize=CLUSTER):
                 """Per-kind hierarchical cull.  Dispatches on the acceleration
-                table's static shape: (9, M) = threaded cluster-BVH lockstep
-                walk (leaf ranges come from the table); (6, n_cl) = linear
+                table's static shape: (8, M) = threaded cluster-BVH lockstep
+                walk (leaf ranges come from the table); (6, n_cl + 1) = linear
                 scan over csize-sized runs with one scalar-predicated slab
                 test each; tiny kinds skip culling."""
                 n_cl = max(1, -(-n // csize))

@@ -266,3 +266,32 @@ def test_collect_stats_counters():
     assert (s[:, 2] >= s[:, 1]).all()        # prims >= leaves
     assert (s[:, 3] >= 1).all() and (s[:, 3] <= cfg.max_depth).all()
     assert s[:, 2].sum() > 0
+
+
+def test_plan_table_placement():
+    """plan_table picks whole-SMEM / hot-cold split / all-VMEM by the
+    PADDED SMEM footprint (rows pad to 8, columns to 128)."""
+    import numpy as np
+
+    from parallelraytracing_tpu.ops.pallas_trace import (
+        LANES, SMEM_BYTES, plan_table, smem_padded_bytes)
+
+    assert smem_padded_bytes((18, 10000)) == 24 * 10112 * 4   # measured
+    assert smem_padded_bytes((9, 4999)) == 16 * 5120 * 4      # measured
+    assert smem_padded_bytes((6, 1)) == 8 * 128 * 4
+
+    tab = np.arange(27 * 300, dtype=np.float32).reshape(27, 300)
+    # small: everything SMEM
+    main, cold, vm, split = plan_table(tab, 16, 0, 2048)
+    assert cold is None and not vm and not split
+    assert np.array_equal(main, tab)
+    # mid: hot/cold split — hot rows in SMEM, cold as VMEM rows
+    main, cold, vm, split = plan_table(tab, 16, 0, 64)
+    assert split and not vm
+    assert main.shape == (16, 300) and np.array_equal(main, tab[:16])
+    assert cold.shape == (300, LANES)
+    assert np.array_equal(cold[:, :11], tab[16:].T)
+    # large: the hot half alone busts the budget -> all-VMEM rows
+    main, cold, vm, split = plan_table(tab, 16, SMEM_BYTES, 64)
+    assert vm and not split and cold is None
+    assert main.shape == (300, LANES)
