@@ -167,6 +167,147 @@ def _cluster_tree(cl: np.ndarray, n_prims: int,
 STACK_CAP = 128
 
 
+def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
+    """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
+    table in the _cluster_tree layout).
+
+    Replaces the Karras-over-Morton-runs topology for the tree path:
+    top-down builds with a 16-bin surface-area heuristic per axis, leaf
+    bounds are the EXACT union of their primitives (Morton runs padded
+    them to run unions), and leaves hold <= csize primitives.  perm
+    reorders primitive columns so each leaf is a contiguous run; invalid
+    primitives (inverted boxes) go LAST, outside every leaf run — the
+    tree never visits them at all.  The reference leans on OptiX's
+    (SAH-quality) GAS builds for exactly this (optix/renderer.cpp:703-
+    871); this is the host-side TPU analogue feeding the in-kernel
+    lockstep walk."""
+    import sys
+    n = len(mn)
+    valid = (mn <= mx).all(1)
+    ids_v = np.nonzero(valid)[0]
+    ids_i = np.nonzero(~valid)[0]
+    if len(ids_v) == 0:
+        out = np.zeros((8, 1), np.float32)
+        out[:3, 0] = 1.0
+        out[3:6, 0] = -1.0
+        out[6, 0] = -1.0
+        out[7, 0] = 0.0  # empty leaf: lo = 0, span = 0
+        return np.arange(n), out
+
+    cen = (mn + mx) * 0.5
+    NB = 16
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    perm_out = []
+    # node records: [mn(3), mx(3), kind, a, b]; kind 0 internal (a, b =
+    # child record ids), kind 1 leaf (a, b = perm range lo, hi)
+    recs = []
+
+    sys.setrecursionlimit(max(10000, sys.getrecursionlimit()))
+
+    def build(ids):
+        bmn = mn[ids].min(0)
+        bmx = mx[ids].max(0)
+        if len(ids) <= csize:
+            lo = len(perm_out)
+            perm_out.extend(ids.tolist())
+            recs.append([bmn, bmx, 1, lo, len(perm_out)])
+            return len(recs) - 1
+        cmin = cen[ids].min(0)
+        cmax = cen[ids].max(0)
+        ext = cmax - cmin
+        best = None  # (cost, axis, bins, split)
+        for ax in range(3):
+            if ext[ax] <= 1e-12:
+                continue
+            b = np.minimum(((cen[ids, ax] - cmin[ax]) / ext[ax]
+                            * NB).astype(np.int64), NB - 1)
+            counts = np.bincount(b, minlength=NB)
+            # per-bin bounds
+            bin_mn = np.full((NB, 3), np.inf)
+            bin_mx = np.full((NB, 3), -np.inf)
+            for k in range(NB):
+                sel = b == k
+                if counts[k]:
+                    bin_mn[k] = mn[ids[sel]].min(0)
+                    bin_mx[k] = mx[ids[sel]].max(0)
+            # prefix/suffix sweeps
+            pre_a = np.zeros(NB)
+            suf_a = np.zeros(NB)
+            cmn = np.full(3, np.inf)
+            cmx = np.full(3, -np.inf)
+            for k in range(NB):
+                cmn = np.minimum(cmn, bin_mn[k])
+                cmx = np.maximum(cmx, bin_mx[k])
+                pre_a[k] = area(cmn, cmx) if np.isfinite(cmn).all() else 0.0
+            cmn = np.full(3, np.inf)
+            cmx = np.full(3, -np.inf)
+            for k in range(NB - 1, -1, -1):
+                cmn = np.minimum(cmn, bin_mn[k])
+                cmx = np.maximum(cmx, bin_mx[k])
+                suf_a[k] = area(cmn, cmx) if np.isfinite(cmn).all() else 0.0
+            pre_n = np.cumsum(counts)
+            for k in range(NB - 1):
+                nl = pre_n[k]
+                nr = len(ids) - nl
+                if nl == 0 or nr == 0:
+                    continue
+                cost = pre_a[k] * nl + suf_a[k + 1] * nr
+                if best is None or cost < best[0]:
+                    best = (cost, ax, b, k)
+        if best is None:
+            half = len(ids) // 2
+            l_ids, r_ids = ids[:half], ids[half:]
+        else:
+            _, ax, b, k = best
+            sel = b <= k
+            l_ids, r_ids = ids[sel], ids[~sel]
+        rec = [bmn, bmx, 0, -1, -1]
+        recs.append(rec)
+        me = len(recs) - 1
+        rec[3] = build(l_ids)
+        rec[4] = build(r_ids)
+        return me
+
+    root = build(ids_v)
+    perm = np.concatenate([np.asarray(perm_out, np.int64),
+                           ids_i]).astype(np.int64)
+    assert len(perm) == n and len(set(perm.tolist())) == n
+
+    # emit threaded preorder with escape links; a left child escapes to
+    # its right sibling's slot = parent_slot + 1 + size(left subtree)
+    # (children records have higher ids than their parent, so a reverse
+    # sweep computes subtree sizes).
+    m = len(recs)
+    size = np.ones(m, np.int64)
+    for ri in range(m - 1, -1, -1):
+        if recs[ri][2] == 0:
+            size[ri] = 1 + size[recs[ri][3]] + size[recs[ri][4]]
+    out = np.zeros((8, m), np.float32)
+    slot = 0
+    stack = [(root, -1)]
+    while stack:
+        ri, esc = stack.pop()
+        bmn, bmx, kind, a, b = recs[ri]
+        out[:3, slot] = bmn
+        out[3:6, slot] = bmx
+        out[6, slot] = esc
+        if kind == 1:
+            span = b - a
+            assert 0 <= span < 64 and a * 64 + span < (1 << 24)
+            out[7, slot] = a * 64 + span
+        else:
+            out[7, slot] = -1.0
+            stack.append((b, esc))
+            stack.append((a, slot + 1 + size[a]))
+        slot += 1
+    assert slot == m
+    return perm, out
+
+
 def _cluster_stack_tree(cl: np.ndarray, n_prims: int,
                         csize: int = None) -> np.ndarray:
     """(6, n_cl) cluster-union bounds -> (10, M) ORDERED-traversal BVH.
@@ -308,11 +449,13 @@ def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
 
 
 # Cluster count above which "auto" picks the BVH walk over the linear
-# scan for a kind.  Measured on the v5e tile (benchmarks/RESULTS.md): at
-# 26 clusters the linear scan's 26 cheap slab tests beat the walk's
-# while-loop overhead; at mesh scale (hundreds of clusters) the walk's
-# O(visited) wins.
-TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "64"))
+# scan for a kind.  With the binned-SAH build (exact leaf bounds) the
+# tree beats the linear scan already at sphere-headline scale (51
+# clusters: 258 vs 310 ms, RESULTS.md), so auto prefers the tree for
+# anything beyond a handful of clusters; sub-threshold kinds keep the
+# front-to-back linear scan whose per-cluster slab test is cheaper than
+# a walk over a 3-node tree.
+TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "4"))
 
 
 def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
@@ -320,16 +463,18 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     mats) float32 host arrays.  Primitives of each kind are sorted by the Morton
     code of their AABB centroid so consecutive runs of CLUSTER primitives
     are spatially tight; *_acc is the per-kind acceleration table the
-    kernel culls with — "tree" builds a threaded escape-link BVH
-    ((8, M) _cluster_tree layout, fixed preorder); "ordered" an
-    explicit-pointer BVH walked near-child-first ((10, M)
-    _cluster_stack_tree layout — measured a WASH vs "tree": the
-    whole-tile any-lane entry rule erases per-ray front-to-back gains,
-    RESULTS.md); "linear" keeps each run's union AABB plus a root
-    pretest column ((6, n_cl + 1)),
-    scanned with one scalar-predicated slab test per cluster; "auto"
-    (default) picks per kind by cluster count (TREE_THRESHOLD).  The
-    kernel dispatches on shape[0], so all are drop-in.
+    kernel culls with — "tree" builds a binned-SAH threaded escape-link
+    BVH with exact leaf bounds ((8, M) layout; columns permute into
+    leaf order, invalid primitives excluded from every leaf run);
+    "ktree" the pre-SAH Karras-over-Morton-runs tree (kept for A/B);
+    "ordered" an explicit-pointer BVH walked near-child-first ((10, M)
+    _cluster_stack_tree layout — measured a WASH vs the threaded tree:
+    the whole-tile any-lane entry rule erases per-ray front-to-back
+    gains, RESULTS.md); "linear" keeps each run's union AABB plus a
+    root pretest column ((6, n_cl + 1)), scanned with one
+    scalar-predicated slab test per cluster; "auto" (default) picks per
+    kind by cluster count (TREE_THRESHOLD).  The kernel dispatches on
+    shape[0], so all are drop-in.
 
     sph_tab  (6, Ns):  cx cy cz r2 mid ord
     quad_tab (14, Nq): n(3) cn us(3) cu vs(3) cv mid ord
@@ -388,9 +533,12 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         csize = csize or CLUSTER
         if accel == "ordered":
             return tab, _cluster_stack_tree(cl, n, csize)
+        if accel == "ktree":   # Karras-over-Morton-runs (the pre-SAH tree)
+            return tab, _cluster_tree(cl, n, csize)
         if accel == "tree" or (accel == "auto"
                                and cl.shape[1] > TREE_THRESHOLD):
-            return tab, _cluster_tree(cl, n, csize)
+            perm, tree = _sah_threaded_tree(mn2, mx2, csize)
+            return np.ascontiguousarray(tab[:, perm]), tree
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
             return tab, _append_root(cl, mn2, mx2)
@@ -594,10 +742,13 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             tree[7, leaf] += tri_off
             tree[8, leaf] += tri_off
         else:
-            tree = _cluster_tree(cl, nt, TRI_CLUSTER).copy()
-            # globalize links: leaf ranges shift by tri_off (row 7 packs
-            # lo*64 + span, so lo shifts as tri_off*64), miss by node_off
-            # (-1 stays -1 = exit the BLAS).
+            # binned-SAH BLAS (exact leaf bounds; tab columns permuted
+            # into leaf order), then globalize: leaf runs shift by
+            # tri_off (row 7 packs lo*64 + span, so lo shifts as
+            # tri_off*64), miss links by node_off (-1 = exit the BLAS).
+            perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER)
+            tab = np.ascontiguousarray(tab[:, perm2])
+            tree = tree.copy()
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
             leaf = tree[7] >= 0
             tree[7, leaf] += tri_off * 64

@@ -295,3 +295,50 @@ def test_plan_table_placement():
     main, cold, vm, split = plan_table(tab, 16, SMEM_BYTES, 64)
     assert vm and not split and cold is None
     assert main.shape == (300, LANES)
+
+
+def test_sah_tree_structure():
+    """Binned-SAH threaded BVH: leaves partition the VALID primitives
+    (invalid ones land outside every leaf run), escape links jump
+    forward, parents contain their span's leaves, leaf boxes contain
+    their primitives exactly."""
+    import numpy as np
+
+    from parallelraytracing_tpu.ops.pallas_trace import _sah_threaded_tree
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    mn = rng.uniform(-50, 50, (n, 3))
+    mx = mn + rng.uniform(0.1, 4.0, (n, 3))
+    inv = rng.choice(n, 100, replace=False)
+    mn[inv] = 1.0
+    mx[inv] = -1.0
+    perm, t = _sah_threaded_tree(mn, mx, 4)
+    m = t.shape[1]
+    enc = t[7]
+    miss = t[6]
+    leaves = enc >= 0
+    lo = enc.astype(np.int64) >> 6
+    hi = lo + (enc.astype(np.int64) & 63)
+    cover = np.zeros(n, np.int64)
+    for s in np.nonzero(leaves)[0]:
+        cover[lo[s]:hi[s]] += 1
+    nv = n - 100
+    assert (cover[:nv] == 1).all() and (cover[nv:] == 0).all()
+    assert sorted(perm.tolist()) == list(range(n))
+    vmask = (mn <= mx).all(1)
+    assert vmask[perm[:nv]].all() and (~vmask[perm[nv:]]).all()
+    idx = np.arange(m)
+    assert ((miss > idx) | (miss == -1)).all()
+    for s in np.nonzero(~leaves)[0]:
+        end = int(miss[s]) if miss[s] >= 0 else m
+        span = np.arange(s + 1, end)
+        sl = span[leaves[span]]
+        assert len(sl) > 0
+        assert (t[:3, sl] >= t[:3, s:s + 1] - 1e-4).all()
+        assert (t[3:6, sl] <= t[3:6, s:s + 1] + 1e-4).all()
+    for s in np.nonzero(leaves)[0]:
+        ids = perm[lo[s]:hi[s]]
+        if len(ids):
+            assert (mn[ids] >= t[:3, s][None] - 1e-4).all()
+            assert (mx[ids] <= t[3:6, s][None] + 1e-4).all()
