@@ -60,13 +60,12 @@ BIG = 3.0e38
 
 import os as _os
 
-# Primitives per SMEM culling cluster.  Per-kind: the sphere/quad linear
-# scan amortizes best at 16 (measured, RESULTS.md); triangle meshes go
-# through the cluster-BVH walk where smaller leaves pay (fewer tested
-# prims per entered leaf) — 8 measured 1.6x on the bunny in round 2,
-# 4 another +15% this session (leaf tests are ~75% of mesh frames,
-# trace_stats).
-CLUSTER = int(_os.environ.get("PRT_CLUSTER", "16"))
+# Primitives per culling leaf.  Per-kind: sphere/quad SAH leaves
+# measured best at 24 (251.7 ms vs 258 at 16 and 256.5 at 32 on the
+# headline, RESULTS.md); triangle meshes pay for smaller leaves (fewer
+# tested prims per entered leaf) — 4 measured best (8 was a wash with
+# the SAH tree, worse with the Karras one).
+CLUSTER = int(_os.environ.get("PRT_CLUSTER", "24"))
 TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "4"))
 
 
