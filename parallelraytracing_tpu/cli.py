@@ -33,7 +33,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    help="auto (platform/scene-aware) | megakernel | "
                         "wavefront | bvh | wavefront_bvh | fused | "
-                        "wavefront_fused | tlas")
+                        "wavefront_fused | tlas | sharded (fused over "
+                        "every available chip)")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--frames", type=int, default=16,

@@ -28,6 +28,10 @@ try:
     from parallelraytracing_tpu.engines import tlas as _tlas  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import sharded as _sharded  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]
