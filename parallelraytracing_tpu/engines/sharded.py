@@ -72,6 +72,8 @@ class ShardedRenderer(Renderer):
         self._mesh = make_render_mesh(spp_axis=spp)
         self._interpret = not _on_tpu()
 
+        from parallelraytracing_tpu.engines.fused import morton_pixel_perm
+        from parallelraytracing_tpu.ops.pallas_trace import LANES
         from parallelraytracing_tpu.parallel.sharding import \
             render_frame_sharded_fused
         cfg = self.config
@@ -80,14 +82,28 @@ class ShardedRenderer(Renderer):
         interpret = self._interpret
         kinds = tuple(kinds)
 
+        # Morton-order pixel ids so each device's block is a coherent
+        # screen region (the fused engine's 1.34x tile win); pad slots
+        # get out-of-range ids (harmless dummy rays).
+        n_px = mesh.shape["px"]
+        r = cfg.pixel_count
+        blk = -(-r // n_px)
+        blk += (-blk) % (rows * LANES)
+        mperm, minv = morton_pixel_perm(cfg.width, cfg.height)
+        perm = jnp.asarray(np.concatenate(
+            [mperm, np.arange(r, n_px * blk)]).astype(np.int32))
+        inv = jnp.asarray(minv)
+
         # one jitted entry per engine instance (statics close over the
         # mesh/config; the tables pytree stays a traced arg)
         @jax.jit
-        def _frame(tables, cam, key):
+        def _frame(tables, cam, key, perm, inv):
             return render_frame_sharded_fused(
                 (*tables, sky, kinds), cam, key, cfg, mesh,
-                rows=rows, interpret=interpret)
+                rows=rows, interpret=interpret, perm=perm, inv=inv)
 
+        self._perm = perm
+        self._inv = inv
         self._arrays = arrays
         self._frame_fn = _frame
 
@@ -98,6 +114,7 @@ class ShardedRenderer(Renderer):
         acc = None
         for s in range(cfg.samples_per_frame):
             key = jax.random.fold_in(base, jnp.uint32(s))
-            rad = self._frame_fn(self._arrays, self._cam_params, key)
+            rad = self._frame_fn(self._arrays, self._cam_params, key,
+                                 self._perm, self._inv)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

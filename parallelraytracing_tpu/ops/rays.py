@@ -83,12 +83,29 @@ def generate_camera_rays_flat(
     """Rays for the flat pixel-index range [start, start+count) — the
     primitive for sharded/tiled raygen where each device or tile generates
     only its own block (indices past H*W produce harmless dummy rays)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0] + start
+    return generate_camera_rays_ids(cam_params, width, height, idx, key,
+                                    jitter)
+
+
+def generate_camera_rays_ids(
+    cam_params: jax.Array,
+    width: int,
+    height: int,
+    idx: jax.Array,
+    key: jax.Array | None = None,
+    jitter: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rays for an EXPLICIT flat pixel-id vector — the raygen primitive
+    for permuted (e.g. Morton-ordered) shard blocks, where a device's
+    pixels are not a contiguous range (ids past H*W produce harmless
+    dummy rays)."""
+    count = idx.shape[0]
     pos = cam_params[0:3]
     right = cam_params[3:6]
     up = cam_params[6:9]
     front = cam_params[9:12]
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0] + start
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
 

@@ -119,6 +119,8 @@ def render_frame_sharded_fused(
     mesh: Mesh,
     rows: int = 2,
     interpret: bool = False,
+    perm: jax.Array | None = None,
+    inv: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-chip frame through the fused Pallas kernel: each ("px","spp")
     device runs the VMEM-resident megakernel on its pixel block, sample
@@ -126,9 +128,17 @@ def render_frame_sharded_fused(
     tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
     vmem_kinds).
 
+    perm/inv (optional): a pixel-id permutation of length n_px*blk
+    (e.g. Morton order padded with out-of-range ids) and its inverse of
+    length cfg.pixel_count.  Each device then traces a COHERENT screen
+    block instead of a scanline strip — the 1.34x Morton-tile win the
+    fused engine gets (RESULTS.md) — and the result is gathered back to
+    pixel order at the end.  RNG stays keyed on GLOBAL pixel ids, so
+    the image is invariant to the layout either way.
+
     The per-device block must be a multiple of rows*128 rays."""
     from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_trace
-    from parallelraytracing_tpu.ops.rays import generate_camera_rays_flat
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
 
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
      vmem_kinds) = scene_tables
@@ -138,19 +148,22 @@ def render_frame_sharded_fused(
     tile = rows * LANES
     blk = -(-r // n_px)
     blk += (-blk) % tile  # per-device block must tile evenly
+    if perm is None:
+        perm = jnp.arange(n_px * blk, dtype=jnp.int32)
+    assert perm.shape == (n_px * blk,), (perm.shape, n_px * blk)
 
     def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
-                   cam, k):
+                   cam, k, ids):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")
         dev_key = jax.random.fold_in(jax.random.fold_in(k, px_i), spp_i)
         k_jit, k_path = jax.random.split(dev_key)
-        o, d = generate_camera_rays_flat(
-            cam, cfg.width, cfg.height, px_i * blk, blk, k_jit, cfg.jitter)
+        ids = ids.reshape(-1)
+        o, d = generate_camera_rays_ids(
+            cam, cfg.width, cfg.height, ids, k_jit, cfg.jitter)
         # Global pixel ids key the RNG, so the image is invariant to the
         # px-shard layout.
-        pix = (px_i * blk + jnp.arange(blk, dtype=jnp.int32)) \
-            .astype(jnp.float32)
+        pix = ids.astype(jnp.float32)
         seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
         rad = pallas_trace(o, d, pix, sph, quad, tri, sph_cl, quad_cl,
                            tri_cl, mats, lights, seed, rows, cfg.max_depth,
@@ -160,9 +173,11 @@ def render_frame_sharded_fused(
 
     shard = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(),) * 10,
+        in_specs=(*(P(),) * 10, P("px")),
         out_specs=P("px", None),
         check_vma=False)
     out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
-                cam_params, key)
+                cam_params, key, perm)
+    if inv is not None:
+        return jnp.take(out, inv, axis=0) / n_spp
     return out[:r] / n_spp
