@@ -207,7 +207,7 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
 
     sys.setrecursionlimit(max(10000, sys.getrecursionlimit()))
 
-    def build(ids):
+    def build(ids, depth=0):
         bmn = mn[ids].min(0)
         bmx = mx[ids].max(0)
         if len(ids) <= csize:
@@ -219,6 +219,19 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
         cmax = cen[ids].max(0)
         ext = cmax - cmin
         best = None  # (cost, axis, bins, split)
+        # SAH can split pathologically unbalanced (1 vs n-1 per level);
+        # beyond depth 60 force median splits so host recursion and the
+        # ordered walk's STACK_CAP stay bounded (~60 + log2 n).
+        if depth > 60:
+            order = np.argsort(cen[ids, int(np.argmax(ext))], kind="stable")
+            half = len(ids) // 2
+            l_ids, r_ids = ids[order[:half]], ids[order[half:]]
+            rec = [bmn, bmx, 0, -1, -1]
+            recs.append(rec)
+            me = len(recs) - 1
+            rec[3] = build(l_ids, depth + 1)
+            rec[4] = build(r_ids, depth + 1)
+            return me
         for ax in range(3):
             if ext[ax] <= 1e-12:
                 continue
@@ -267,8 +280,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
         rec = [bmn, bmx, 0, -1, -1]
         recs.append(rec)
         me = len(recs) - 1
-        rec[3] = build(l_ids)
-        rec[4] = build(r_ids)
+        rec[3] = build(l_ids, depth + 1)
+        rec[4] = build(r_ids, depth + 1)
         return me
 
     root = build(ids_v)
