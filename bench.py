@@ -89,7 +89,7 @@ def main() -> None:
                            float(width), float(height), 100.0),
     }
 
-    def exact_pallas_ray_count(r, n_frames=3) -> float:
+    def exact_pallas_ray_count(r, cfg, n_frames=3) -> float:
         """Average EXACT rays/frame: steps the same pixel-keyed PCG
         streams the fused/wavefront_fused engines trace (same per-frame
         seed chain), via single-bounce Pallas segments."""
@@ -98,7 +98,6 @@ def main() -> None:
         from parallelraytracing_tpu.engines.megakernel import raygen
         from parallelraytracing_tpu.engines.wavefront_fused import \
             count_frame_rays
-        sky = tuple(float(x) for x in np.asarray(r._scene_data.sky))
         total = 0
         for f in range(n_frames):
             base = jax.random.fold_in(
@@ -111,21 +110,17 @@ def main() -> None:
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1,
                                       jnp.int32)
             total += int(count_frame_rays(
-                o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab,
-                r._sph_cl, r._quad_cl, r._tri_cl, r._mats, r._lights_tab,
-                seed, r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-                r._interpret, cfg.russian_roulette_depth, r._vmem_kinds,
-                r._nee, tri_cold=getattr(r, "_tri_cold", None)))
+                r._tables, o, d, pix, seed, r.rows, cfg, r._interpret))
         return total / n_frames
 
-    results = {}
-    engine = None
-    for cam_name, cam in cameras.items():
-        film = r = None
+    def measure(scene, cam, cfg, prefs, n_frames):
+        """Init the first engine in prefs that compiles, then measure
+        steady-state ms/frame and the exact rays/frame numerator."""
+        engine = r = film = None
         last_err = None
-        for name in engine_prefs:
+        for name in prefs:
             try:
-                film = Film(width, height)
+                film = Film(cfg.width, cfg.height)
                 r = create_renderer(name)
                 r.init(film, scene, cam, cfg)
                 # Warm up / compile (device_sync: block_until_ready does
@@ -136,15 +131,15 @@ def main() -> None:
                 break
             except Exception as e:  # compile-service flakiness: fall back
                 last_err = e
-                print(f"# engine {name} failed: {type(e).__name__}",
+                print(f"# engine {name} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
         if engine is None:
             raise last_err
 
         # Rays/frame numerator: exact (same PCG streams as the engine)
         # for the Pallas engines, jnp-threefry estimate otherwise.
-        if hasattr(r, "_sph_tab"):
-            rays_per_frame = exact_pallas_ray_count(r)
+        if hasattr(r, "_tables"):
+            rays_per_frame = exact_pallas_ray_count(r, cfg)
             count_method = "exact_pallas_pcg"
         else:
             rays_per_frame = count_bounce_rays(
@@ -152,16 +147,90 @@ def main() -> None:
             count_method = "jnp_threefry_estimate"
 
         t0 = time.time()
-        for _ in range(frames):
+        for _ in range(n_frames):
             r.progressive_render()
         device_sync(film.accum)
-        dt = (time.time() - t0) / frames
-        results[cam_name] = {
+        dt = (time.time() - t0) / n_frames
+        return engine, {
             "mrays": round(rays_per_frame / dt / 1e6, 3),
             "rays_per_frame": int(rays_per_frame),
             "ms_per_frame": round(dt * 1000.0, 2),
             "ray_count_method": count_method,
         }
+
+    results = {}
+    engine = None
+    for cam_name, cam in cameras.items():
+        engine, results[cam_name] = measure(scene, cam, cfg, engine_prefs,
+                                            frames)
+
+    # ---- mesh workloads (BASELINE.md milestones 2-5, machine-readable —
+    # VERDICT r2 item 8): bunny through the in-kernel SAH BVH and the
+    # multi-mesh instanced scene through the in-kernel TLAS/BLAS.
+    workloads = {}
+    if os.environ.get("BENCH_WORKLOADS", "all") != "headline":
+        from parallelraytracing_tpu.core.mesh import load_ply
+
+        def bunny_scene():
+            mesh = load_ply("/root/reference/assets/models/bunny.ply")
+            s = Scene(preset=None)
+            mat = s.add_lambertian((0.75, 0.65, 0.5))
+            s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+            ground = s.add_lambertian((0.5, 0.5, 0.5))
+            s.add_quad(100, 100, ground, None)
+            light = s.add_emissive((12, 12, 12))
+            s.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+            return s
+
+        def multimesh_scene():
+            ico = load_ply("/root/reference/assets/models/icosahedron.ply")
+            bun = load_ply("/root/reference/assets/models/bunny.ply")
+            s = Scene(preset=None)
+            body = s.add_lambertian((0.7, 0.6, 0.45))
+            s.add_mesh_instances(
+                bun, body, [((6, 6, 6), (0, 160, 0), (0, 6, 0)),
+                            ((3, 3, 3), (0, 40, 0), (-12, 3, 6))])
+            glass = s.add_dielectric(1.5)
+            red = s.add_lambertian((0.8, 0.15, 0.1))
+            s.add_mesh_instances(
+                ico, glass, [((2.5,) * 3, (0, 30 * i, 0),
+                              (9 + 2.5 * i, 2.5, 8 - 3.0 * i))
+                             for i in range(3)])
+            s.add_mesh_instances(
+                ico, red, [((2,) * 3, (0, 15, 25), (-9, 2, 12)),
+                           ((1.5,) * 3, (30, 0, 0), (4, 1.5, 14))])
+            ground = s.add_lambertian((0.5, 0.5, 0.52))
+            s.add_quad(120, 120, ground, None)
+            light = s.add_emissive((11, 11, 10))
+            s.add_sphere(3.5, light, ((1, 1, 1), (0, 0, 0), (14, 26, 14)))
+            return s
+
+        mesh_cfg = RenderConfig(width=width, height=height,
+                                max_depth=depth, seed=0)
+        bunny_cam = Camera(np.array([0.0, 14.0, 28.0]),
+                           np.array([0.0, -7.0, -28.0]),
+                           float(width), float(height), 100.0)
+        mm_w, mm_h = width // 2, height // 2
+        mm_cfg = RenderConfig(width=mm_w, height=mm_h,
+                              max_depth=min(8, depth), seed=0)
+        mm_cam = Camera(np.array([0.0, 12.0, 30.0]),
+                        np.array([0.0, -7.0, -30.0]),
+                        float(mm_w), float(mm_h), 100.0)
+        mesh_frames = max(2, frames // 2)
+        for tag, (sc, cam2, cfg2, prefs) in {
+            "bunny_sah_1080p_d20": (bunny_scene, bunny_cam, mesh_cfg,
+                                    ["fused", "bvh"]),
+            "multimesh_tlas_halfres_d8": (multimesh_scene, mm_cam, mm_cfg,
+                                          ["tlas", "fused"]),
+        }.items():
+            try:
+                eng2, res2 = measure(sc(), cam2, cfg2, prefs, mesh_frames)
+                res2["engine"] = eng2
+                res2["resolution"] = f"{cfg2.width}x{cfg2.height}"
+                res2["max_depth"] = cfg2.max_depth
+                workloads[tag] = res2
+            except Exception as e:  # honest partial record
+                workloads[tag] = {"error": f"{type(e).__name__}: {e}"}
 
     mrays = results["reference_default"]["mrays"]
     print(json.dumps({
@@ -176,6 +245,7 @@ def main() -> None:
             "max_depth": depth,
             "camera": "reference_default (eye (5,5,8), main.cpp:142-150)",
             "views": results,
+            "workloads": workloads,
             "device": str(jax.devices()[0]),
         },
     }))

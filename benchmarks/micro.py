@@ -27,11 +27,98 @@ def timeit(f, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
+def vpu_peak_vmem(shape=(256, 128), loops=200, n_tiles=512,
+                  mix="fma", interpret=False):
+    """Measured VPU f32 elementwise peak with ALL operands VMEM-resident
+    (a Pallas kernel looping a register-level op chain) — the roofline
+    ceiling for the fused path-trace kernel, whose working set never
+    leaves VMEM.  The plain-XLA elementwise microbench streams HBM and
+    measures bandwidth, not the VPU (61 GB/s ~ 30 Gop/s on this rig);
+    this one measures the compute ceiling itself.
+
+    mix="fma": independent multiply-add chains (4-way ILP).
+    mix="slab": the slab-test op mix (fused multiply-sub + min/max +
+    compare) — the fused kernel's dominant op classes.
+    Returns (seconds, total_lane_ops)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if mix == "fma":
+        ops_per_iter = 8  # 4 accumulators x (mul+add fused = 1) x 2 rounds
+
+        def body(i, acc):
+            a, b, c, d = acc
+            a = a * 1.0000001 + 1e-7
+            b = b * 0.9999999 - 1e-7
+            c = c * 1.0000002 + 2e-7
+            d = d * 0.9999998 - 2e-7
+            a = a * 1.0000001 + 1e-7
+            b = b * 0.9999999 - 1e-7
+            c = c * 1.0000002 + 2e-7
+            d = d * 0.9999998 - 2e-7
+            return a, b, c, d
+    else:
+        ops_per_iter = 12  # 4 chains x (fms, min/max, cmp-select)
+
+        def body(i, acc):
+            a, b, c, d = acc
+            a = a * 1.0000001 - 1e-7
+            b = b * 0.9999999 + 1e-7
+            c = jnp.minimum(c, a)
+            d = jnp.maximum(d, b)
+            a = jnp.maximum(a, c)
+            b = jnp.minimum(b, d)
+            c = c * 1.0000002 - 2e-7
+            d = d * 0.9999998 + 2e-7
+            a = jnp.where(a > c, a, c)
+            b = jnp.where(b < d, b, d)
+            c = jnp.where(c > 0.0, c, a)
+            d = jnp.where(d < 1.0, d, b)
+            return a, b, c, d
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        a, b, c, d = jax.lax.fori_loop(
+            0, loops, body, (x, x * 0.5, x * 0.25, x * 0.125))
+        o_ref[:] = a + b + c + d
+
+    spec = pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kernel, grid=(n_tiles,), in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * shape[0], shape[1]),
+                                       jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False)
+    x = jnp.ones((n_tiles * shape[0], shape[1]), jnp.float32) * 0.5
+    jf = jax.jit(f)
+
+    from parallelraytracing_tpu.utils.sync import device_sync
+    out = jf(x)
+    device_sync(out)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = jf(x)
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    total_ops = n_tiles * shape[0] * shape[1] * loops * ops_per_iter
+    return dt, total_ops
+
+
 def main():
     import jax
     if len(sys.argv) > 1 and sys.argv[1] == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    # VMEM-resident VPU peak (roofline ceiling — see vpu_peak_vmem doc).
+    on_tpu = jax.devices()[0].platform == "tpu"
+    for mix in ("fma", "slab"):
+        kw = {} if on_tpu else dict(n_tiles=2, loops=4, interpret=True)
+        dt, ops = vpu_peak_vmem(mix=mix, **kw)
+        print(f"vpu f32 {mix} peak (VMEM-resident): {dt*1e3:8.2f} ms "
+              f"-> {ops/dt/1e12:6.3f} Tops/s")
 
     R = 1 << 21          # ~2M rays (1080p)
     M = 1617             # balls-scene BVH nodes

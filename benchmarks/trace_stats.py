@@ -64,15 +64,9 @@ def stats_for(scene, cam, cfg, accel="auto", frame=1):
         pix = jnp.pad(pix, (0, pad))
     seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
                                            jnp.int32)], jnp.int32)
-    sky = tuple(float(x) for x in np.asarray(r._scene_data.sky))
-    rad, stats = pallas_trace(
-        o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab,
-        r._sph_cl, r._quad_cl, r._tri_cl, r._mats, r._lights_tab, seed,
-        r.rows, cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-        interpret=r._interpret, rr_depth=cfg.russian_roulette_depth,
-        vmem_kinds=r._vmem_kinds, nee=r._nee, inst=r._inst,
-        itri_vmem=r._itri_vmem, collect_stats=True,
-        tri_cold=r._tri_cold, itri_cold=r._itri_cold)
+    from parallelraytracing_tpu.engines.tables import trace_tables
+    rad, stats = trace_tables(r._tables, o, d, pix, seed, r.rows, cfg,
+                              r._interpret, collect_stats=True)
     return np.asarray(rad), np.asarray(stats)
 
 

@@ -57,17 +57,71 @@ class Film:
         self.width = int(width)
         self.height = int(height)
         self._dtype = dtype
-        self.accum = jnp.zeros((self.height, self.width, 3), dtype)
-        self.weights = jnp.zeros((self.height, self.width), dtype)
+        #: optional storage layout: accum/weights live as (slots,) flat
+        #: buffers in an engine-chosen pixel order (e.g. the sharded
+        #: engine's padded Morton blocks, which keep the accumulation
+        #: px-SHARDED across chips with zero per-frame gathers); inv maps
+        #: pixel id -> storage slot and is applied only at display/read.
+        self._layout_inv = None
+        self._slots = 0
+        self._alloc()
+
+    def _alloc(self) -> None:
+        if self._layout_inv is None:
+            self.accum = jnp.zeros((self.height, self.width, 3), self._dtype)
+            self.weights = jnp.zeros((self.height, self.width), self._dtype)
+        else:
+            self.accum = jnp.zeros((self._slots, 3), self._dtype)
+            self.weights = jnp.zeros((self._slots,), self._dtype)
         self.sample_count = 0
+
+    def set_layout(self, layout) -> None:
+        """Install (inv, slots) — inv (H*W,) i32 pixel->slot — or None to
+        restore the canonical (H,W) layout.  Accumulated content is
+        CONVERTED, not dropped, so engine switches and checkpoint resume
+        keep their progressive state."""
+        if layout is None:
+            if self._layout_inv is None:
+                return
+            self.accum = self._canonical(self.accum)
+            self.weights = self._canonical(self.weights)
+            self._layout_inv = None
+            self._slots = 0
+            return
+        inv, slots = layout
+        inv = jnp.asarray(inv, jnp.int32)
+        slots = int(slots)
+        assert inv.shape == (self.height * self.width,)
+        assert slots >= self.height * self.width
+        if self._layout_inv is not None:
+            if slots == self._slots and bool(
+                    jnp.array_equal(inv, self._layout_inv)):
+                return
+            acc = self._canonical(self.accum)
+            w = self._canonical(self.weights)
+        else:
+            acc = self.accum
+            w = self.weights
+        self._layout_inv = inv
+        self._slots = slots
+        self.accum = jnp.zeros((slots, 3), self._dtype).at[inv].set(
+            acc.reshape(-1, 3))
+        self.weights = jnp.zeros((slots,), self._dtype).at[inv].set(
+            w.reshape(-1))
+
+    def _canonical(self, flat: jax.Array):
+        """Gather a (slots, ...) storage buffer back to pixel order
+        (H, W, ...) — the ONLY place the layout is undone."""
+        img = jnp.take(flat, self._layout_inv, axis=0)
+        return img.reshape((self.height, self.width) + flat.shape[1:])
 
     def resize(self, width: int, height: int) -> None:
         """Film::Resize (film.cu:11-23): reallocate buffers and reset."""
         self.width = int(width)
         self.height = int(height)
-        self.accum = jnp.zeros((self.height, self.width, 3), self._dtype)
-        self.weights = jnp.zeros((self.height, self.width), self._dtype)
-        self.sample_count = 0
+        self._layout_inv = None  # layouts are resolution-specific
+        self._slots = 0
+        self._alloc()
 
     # ------------------------------------------------------------------
     def clear(self) -> None:
@@ -82,13 +136,23 @@ class Film:
         if not (0 <= x < self.width and 0 <= y < self.height):
             return
         rgb = jnp.asarray(rgb, self._dtype)
+        if self._layout_inv is not None:
+            slot = self._layout_inv[y * self.width + x]
+            self.accum = self.accum.at[slot].add(rgb * weight)
+            self.weights = self.weights.at[slot].add(weight)
+            return
         self.accum = self.accum.at[y, x].add(rgb * weight)
         self.weights = self.weights.at[y, x].add(weight)
 
     def add_sample_buffer(self, rgb: jax.Array, weight: float = 1.0) -> None:
         """Film::AddSampleBuffer[GPU] (film.cu:57-99): accumulate one frame
-        of per-pixel radiance. rgb: (H,W,3) or (H*W,3)."""
-        rgb = rgb.reshape(self.height, self.width, 3).astype(self._dtype)
+        of per-pixel radiance. rgb: (H,W,3) or (H*W,3) — or (slots,3) in
+        the film's storage layout when one is installed (the buffer then
+        stays in the producing engine's sharding; no gather)."""
+        if self._layout_inv is not None:
+            rgb = rgb.reshape(self._slots, 3).astype(self._dtype)
+        else:
+            rgb = rgb.reshape(self.height, self.width, 3).astype(self._dtype)
         self.accum, self.weights = _accumulate(
             self.accum, self.weights, rgb, jnp.asarray(weight, self._dtype))
         self.sample_count += 1
@@ -96,6 +160,11 @@ class Film:
     # ------------------------------------------------------------------
     def to_display(self, exposure: float = 1.0, gamma: float = 2.2) -> jax.Array:
         """UpdateDisplay[GPU] -> (H,W,4) uint8 on device."""
+        if self._layout_inv is not None:
+            return _to_display(self._canonical(self.accum),
+                               self._canonical(self.weights),
+                               jnp.asarray(exposure, self._dtype),
+                               jnp.asarray(1.0 / gamma, self._dtype))
         return _to_display(self.accum, self.weights,
                            jnp.asarray(exposure, self._dtype),
                            jnp.asarray(1.0 / gamma, self._dtype))
@@ -106,6 +175,9 @@ class Film:
     def hdr_average(self) -> jax.Array:
         """Weight-normalized linear HDR image (H,W,3) — the quantity RMSE
         fidelity gates compare."""
+        if self._layout_inv is not None:
+            return _hdr_average(self._canonical(self.accum),
+                                self._canonical(self.weights))
         return _hdr_average(self.accum, self.weights)
 
     def save_png(self, path: str, exposure: float = 1.0, gamma: float = 2.2) -> None:
@@ -123,9 +195,17 @@ class Film:
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str, frame_index: int = 0) -> None:
+        # Checkpoints are CANONICAL (pixel-order) regardless of storage
+        # layout, so any engine can resume any checkpoint.
+        if self._layout_inv is not None:
+            accum = np.asarray(self._canonical(self.accum))
+            weights = np.asarray(self._canonical(self.weights))
+        else:
+            accum = np.asarray(self.accum)
+            weights = np.asarray(self.weights)
         np.savez(path,
-                 accum=np.asarray(self.accum),
-                 weights=np.asarray(self.weights),
+                 accum=accum,
+                 weights=weights,
                  sample_count=self.sample_count,
                  frame_index=frame_index,
                  width=self.width, height=self.height)

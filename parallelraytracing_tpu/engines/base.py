@@ -45,9 +45,17 @@ class Renderer(abc.ABC):
         self.set_camera(camera)
         self._frame_index = 0
         self._post_init()
+        film.set_layout(self.film_layout())
 
     def _post_init(self) -> None:
         """Hook for engine-specific setup (e.g. BVH build)."""
+
+    def film_layout(self):
+        """Optional engine-preferred Film storage layout (inv, slots) —
+        e.g. the sharded engine keeps the film in its padded Morton
+        shard order so accumulation stays px-sharded with no per-frame
+        gather (core/film.set_layout).  None = canonical (H,W)."""
+        return None
 
     def set_camera(self, camera: Camera) -> None:
         """Renderer::SetCamera (renderer.h:14); cheap param upload, the

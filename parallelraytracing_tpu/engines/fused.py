@@ -94,7 +94,7 @@ class FusedRenderer(Renderer):
 
     def set_camera(self, camera) -> None:
         super().set_camera(camera)
-        if self.front_to_back and hasattr(self, "_mats"):
+        if self.front_to_back and hasattr(self, "_tables"):
             self._pack_tables()  # cluster order is camera-dependent
 
     def _post_init(self) -> None:
@@ -109,92 +109,20 @@ class FusedRenderer(Renderer):
             self._perm = self._inv = None
 
     def _pack_tables(self) -> None:
-        from parallelraytracing_tpu.ops.nee import extract_lights
-        from parallelraytracing_tpu.ops.pallas_trace import (
-            pack_instance_tables, pack_lights_table, plan_table,
-            to_vmem_rows)
+        from parallelraytracing_tpu.engines.tables import build_scene_tables
         eye = self._camera.position if self.front_to_back else None
-        if getattr(self._scene, "instances", None):
-            # In-kernel TLAS/BLAS: trace instances natively instead of
-            # rendering the baked copy — geometry memory ∝ unique meshes.
-            base = self._scene.build(bake_instances=False)
-            self._scene_data = jax.device_put(base)
-            host_scene = jax.device_get(base)
-            ord_base = float(host_scene.sph_valid.shape[0]
-                             + host_scene.quad_valid.shape[0]
-                             + host_scene.tri_valid.shape[0])
-            itri, iacc, ibox, inst = pack_instance_tables(
-                self._scene._inst_meshes, self._scene.instances, ord_base,
-                ordered=(self.accel == "ordered"))
-        else:
-            host_scene = jax.device_get(self._scene_data)
-            itri = None
-        sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-            host_scene, accel=self.accel, eye=eye)
-        self._nee = bool(self.config.nee
-                         and extract_lights(host_scene) is not None)
-        lights = pack_lights_table(host_scene)
-        self._lights_tab = jax.device_put(jnp.asarray(lights))
-        self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
-        self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
-        self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
-        self._mats = jax.device_put(jnp.asarray(mats))
-        tabs = []
-        kinds = []
-        for tab in (sph, quad):
-            vm = tab.shape[1] > self.vmem_threshold
-            kinds.append(vm)
-            tabs.append(jax.device_put(jnp.asarray(
-                to_vmem_rows(tab) if vm else tab)))
-        self._sph_tab, self._quad_tab = tabs
-
-        # SMEM already committed to the always-scalar tables; the
-        # triangle tables get whatever fits (hot/cold split when the
-        # full table would not — plan_table docstring).
-        from parallelraytracing_tpu.ops.pallas_trace import \
-            smem_padded_bytes
-
-        def smem_sz(a, vm=False):
-            if a is None or vm:
-                return 0
-            return smem_padded_bytes(np.asarray(a).shape)
-
-        other = sum(smem_sz(a) for a in (sph_cl, quad_cl, tri_cl, mats,
-                                         lights)) \
-            + smem_sz(sph, kinds[0]) + smem_sz(quad, kinds[1])
-        if itri is not None:
-            other += sum(smem_padded_bytes(a.shape)
-                         for a in (iacc, ibox, inst))
-        tri_tab, tri_cold, tri_vm, _ = plan_table(
-            tri, 16, other, self.vmem_threshold)
-        self._tri_tab = jax.device_put(jnp.asarray(tri_tab))
-        self._tri_cold = (None if tri_cold is None
-                          else jax.device_put(jnp.asarray(tri_cold)))
-        self._vmem_kinds = (kinds[0], kinds[1], tri_vm)
-
-        if itri is not None:
-            other += smem_sz(tri_tab, tri_vm)
-            itri_tab, itri_cold, self._itri_vmem, _ = plan_table(
-                itri, 16, other, self.vmem_threshold)
-            self._itri_cold = (None if itri_cold is None
-                               else jax.device_put(jnp.asarray(itri_cold)))
-            self._inst = tuple(jax.device_put(jnp.asarray(a))
-                               for a in (itri_tab, iacc, ibox, inst))
-        else:
-            self._inst = None
-            self._itri_vmem = False
-            self._itri_cold = None
+        self._tables, self._scene_data = build_scene_tables(
+            self._scene, self.config, accel=self.accel,
+            vmem_threshold=self.vmem_threshold, eye=eye)
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
+        from parallelraytracing_tpu.engines.tables import trace_tables
         cfg = self.config
         base = jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed), jnp.uint32(frame_index))
         tile = self.rows * LANES
         r = cfg.pixel_count
         pad = (-r) % tile
-        sky = (float(np.asarray(self._scene_data.sky)[0]),
-               float(np.asarray(self._scene_data.sky)[1]),
-               float(np.asarray(self._scene_data.sky)[2]))
 
         acc = None
         for s in range(cfg.samples_per_frame):
@@ -215,19 +143,9 @@ class FusedRenderer(Renderer):
             seed = jnp.asarray(
                 [jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)],
                 jnp.int32)
-            rad = pallas_trace(o, d, pix, self._sph_tab, self._quad_tab,
-                               self._tri_tab, self._sph_cl, self._quad_cl,
-                               self._tri_cl, self._mats, self._lights_tab,
-                               seed, self.rows,
-                               cfg.max_depth, cfg.t_min, cfg.t_max, sky,
-                               interpret=self._interpret,
-                               rr_depth=cfg.russian_roulette_depth,
-                               vmem_kinds=self._vmem_kinds,
-                               nee=self._nee, inst=self._inst,
-                               itri_vmem=self._itri_vmem,
-                               sub_rows=self.sub_rows,
-                               tri_cold=self._tri_cold,
-                               itri_cold=self._itri_cold)[:r]
+            rad = trace_tables(self._tables, o, d, pix, seed, self.rows,
+                               cfg, self._interpret,
+                               sub_rows=self.sub_rows)[:r]
             if self._inv is not None:
                 rad = jnp.take(rad, self._inv, axis=0)
             acc = rad if acc is None else acc + rad

@@ -10,9 +10,17 @@ degenerates to a 1x1 mesh and matches the fused engine's cost; on a pod
 it is the scaling story (the role NCCL/multi-GPU would play in the
 reference, which is single-GPU only — SURVEY.md §2.4).
 
-The per-pixel RNG is keyed on GLOBAL pixel ids and a per-(px,spp)-shard
-seed, so the image is deterministic for a given device count and
-invariant to the px-shard layout.
+Subclasses FusedRenderer so the scene tables are packed by the SAME
+builder (engines/tables.build_scene_tables): every fused feature —
+NEE, hot/cold triangle split, in-kernel TLAS/BLAS instancing,
+front-to-back repack — works identically under `--engine sharded`.
+
+Determinism: the per-frame path/jitter seeds derive from the frame key
+only, the in-kernel RNG is keyed on GLOBAL pixel ids, and jitter is
+pixel-keyed — so for a fixed spp-axis size the image is bit-invariant
+to the device count and the px-shard/Morton layout (tested on the
+8-virtual-device CPU mesh); with jitter off it bit-matches the fused
+engine exactly.
 """
 
 from __future__ import annotations
@@ -23,88 +31,71 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parallelraytracing_tpu.engines.base import Renderer, register_engine
-
-
-def _on_tpu() -> bool:
-    return jax.devices()[0].platform == "tpu"
+from parallelraytracing_tpu.engines.base import register_engine
+from parallelraytracing_tpu.engines.fused import (FusedRenderer,
+                                                  morton_pixel_perm)
 
 
 @register_engine
-class ShardedRenderer(Renderer):
+class ShardedRenderer(FusedRenderer):
     name = "sharded"
-
-    #: rows per kernel tile (see FusedRenderer.rows); per-device pixel
-    #: blocks pad to rows*128.
-    rows: int = int(os.environ.get("PRT_ROWS", "24"))
-
-    #: per-kind primitive count above which tables use VMEM row layout
-    #: (the sharded path does not use the hot/cold split).
-    vmem_threshold: int = 2048
-
-    #: culling structure (pack_scene_tables accel option).
-    accel: str = os.environ.get("PRT_TRAVERSAL", "auto")
 
     #: devices on the sample axis (rest go to the pixel axis); 1 =
     #: pure spatial data parallelism.
     spp_axis: int = int(os.environ.get("PRT_SPP_AXIS", "1"))
 
-    def _post_init(self) -> None:
-        from parallelraytracing_tpu.ops.pallas_trace import (
-            pack_lights_table, pack_scene_tables, to_vmem_rows)
-        from parallelraytracing_tpu.parallel.sharding import \
-            make_render_mesh
-        host_scene = jax.device_get(self._scene_data)
-        sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-            host_scene, accel=self.accel)
-        kinds = []
-        tabs = []
-        for tab in (sph, quad, tri):
-            vm = tab.shape[1] > self.vmem_threshold
-            kinds.append(vm)
-            tabs.append(jnp.asarray(to_vmem_rows(tab) if vm else tab))
-        sky = tuple(float(x) for x in np.asarray(host_scene.sky))
-        arrays = (*tabs, jnp.asarray(sph_cl), jnp.asarray(quad_cl),
-                  jnp.asarray(tri_cl), jnp.asarray(mats),
-                  jnp.asarray(pack_lights_table(host_scene)))
-        n_dev = len(jax.devices())
-        spp = self.spp_axis if n_dev % max(self.spp_axis, 1) == 0 else 1
-        self._mesh = make_render_mesh(spp_axis=spp)
-        self._interpret = not _on_tpu()
+    #: keep the FILM in shard order too (Film.set_layout): accumulation
+    #: then stays px-sharded and the Morton inverse gather moves from
+    #: every frame to display time only (VERDICT r2 item 7).
+    defer_gather: bool = os.environ.get("PRT_DEFER_GATHER", "1") != "0"
 
-        from parallelraytracing_tpu.engines.fused import morton_pixel_perm
+    def film_layout(self):
+        if not self.defer_gather:
+            return None
+        return self._sinv, int(self._sperm.shape[0])
+
+    def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import LANES
-        from parallelraytracing_tpu.parallel.sharding import \
-            render_frame_sharded_fused
-        cfg = self.config
-        mesh = self._mesh
-        rows = self.rows
-        interpret = self._interpret
-        kinds = tuple(kinds)
+        from parallelraytracing_tpu.parallel.sharding import (
+            make_render_mesh, render_frame_sharded_fused)
+        super()._post_init()  # packs self._tables (full fused feature set)
+
+        n_dev = len(jax.devices())
+        spp = (self.spp_axis
+               if self.spp_axis >= 1 and n_dev % self.spp_axis == 0 else 1)
+        self._mesh = make_render_mesh(spp_axis=spp)
 
         # Morton-order pixel ids so each device's block is a coherent
         # screen region (the fused engine's 1.34x tile win); pad slots
         # get out-of-range ids (harmless dummy rays).
+        cfg = self.config
+        mesh = self._mesh
         n_px = mesh.shape["px"]
         r = cfg.pixel_count
         blk = -(-r // n_px)
-        blk += (-blk) % (rows * LANES)
-        mperm, minv = morton_pixel_perm(cfg.width, cfg.height)
-        perm = jnp.asarray(np.concatenate(
+        blk += (-blk) % (self.rows * LANES)
+        if self.morton_rays:
+            mperm, minv = morton_pixel_perm(cfg.width, cfg.height)
+        else:
+            mperm = np.arange(r, dtype=np.int32)
+            minv = mperm
+        self._sperm = jnp.asarray(np.concatenate(
             [mperm, np.arange(r, n_px * blk)]).astype(np.int32))
-        inv = jnp.asarray(minv)
+        self._sinv = jnp.asarray(minv)
+
+        rows = self.rows
+        interpret = self._interpret
+        defer = self.defer_gather
 
         # one jitted entry per engine instance (statics close over the
         # mesh/config; the tables pytree stays a traced arg)
         @jax.jit
         def _frame(tables, cam, key, perm, inv):
             return render_frame_sharded_fused(
-                (*tables, sky, kinds), cam, key, cfg, mesh,
-                rows=rows, interpret=interpret, perm=perm, inv=inv)
+                tables, cam, key, cfg, mesh,
+                rows=rows, interpret=interpret, perm=perm, inv=inv,
+                defer_gather=defer)
 
-        self._perm = perm
-        self._inv = inv
-        self._arrays = arrays
         self._frame_fn = _frame
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
@@ -114,7 +105,7 @@ class ShardedRenderer(Renderer):
         acc = None
         for s in range(cfg.samples_per_frame):
             key = jax.random.fold_in(base, jnp.uint32(s))
-            rad = self._frame_fn(self._arrays, self._cam_params, key,
-                                 self._perm, self._inv)
+            rad = self._frame_fn(self._tables, self._cam_params, key,
+                                 self._sperm, self._sinv)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -31,15 +31,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from parallelraytracing_tpu.config import RenderConfig
 from parallelraytracing_tpu.engines.base import Renderer, register_engine
 from parallelraytracing_tpu.engines.fused import morton_pixel_perm
 from parallelraytracing_tpu.engines.megakernel import raygen
-from parallelraytracing_tpu.ops.pallas_trace import (LANES,
-                                                     pack_scene_tables,
-                                                     pallas_segment)
+from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_segment
 
 
 def _on_tpu() -> bool:
@@ -84,24 +81,23 @@ def _sort_key(state, bb_lo, inv_ext, mode: str):
 
 
 @partial(jax.jit,
-         static_argnames=("rows", "segment", "max_depth", "t_min", "t_max",
-                          "sky", "bb", "interpret", "rr_depth",
-                          "vmem_kinds", "sort_rays", "nee", "itri_vmem"))
-def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
-                    sph_cl, quad_cl, tri_cl, mats, lights, seed,
-                    rows: int, segment: int, max_depth: int,
-                    t_min: float, t_max: float, sky, bb,
-                    interpret: bool = False, rr_depth: int = 0,
-                    vmem_kinds=(False, False, False),
-                    sort_rays: str = "octant", nee: bool = False,
-                    inst=None, itri_vmem: bool = False,
-                    tri_cold=None, itri_cold=None):
+         static_argnames=("rows", "segment", "cfg", "interpret",
+                          "sort_rays"))
+def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
+                    cfg: RenderConfig, interpret: bool = False,
+                    sort_rays: str = "octant"):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
 
-    bb = ((lox,loy,loz),(ix,iy,iz)) static scene bbox lo / inverse extent
-    for the origin quantization."""
+    tables: engines.tables.PallasSceneTables (carries the static scene
+    bbox for the origin quantization and every kernel feature flag)."""
+    t = tables
+    max_depth = cfg.max_depth
+    t_min, t_max = cfg.t_min, cfg.t_max
+    rr_depth = cfg.russian_roulette_depth
+    sky = t.sky
+    bb = t.bb
     r = o.shape[0]
     tile = rows * LANES
     pad = (-r) % tile
@@ -125,10 +121,11 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
         scalars = jnp.stack([seed[0], jnp.int32(s * segment),
                              count]).astype(jnp.int32)
         state, alive = pallas_segment(
-            pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
-            sph_cl, quad_cl, tri_cl, mats, lights, scalars,
+            pix, (*state, alive_p), t.sph, t.quad, t.tri,
+            t.sph_cl, t.quad_cl, t.tri_cl, t.mats, t.lights, scalars,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
-            vmem_kinds, nee, inst, itri_vmem, tri_cold, itri_cold)
+            t.vmem_kinds, t.nee, t.inst, t.itri_vmem, t.tri_cold,
+            t.itri_cold)
         state = list(state)
         alive_p = alive
 
@@ -160,22 +157,20 @@ def segmented_trace(o, d, pix0, sph_tab, quad_tab, tri_tab,
 
 
 @partial(jax.jit,
-         static_argnames=("rows", "max_depth", "t_min", "t_max",
-                          "sky", "interpret", "rr_depth", "vmem_kinds",
-                          "nee"))
-def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
-                     sph_cl, quad_cl, tri_cl, mats, lights, seed,
-                     rows: int, max_depth: int,
-                     t_min: float, t_max: float, sky,
-                     interpret: bool = False, rr_depth: int = 0,
-                     vmem_kinds=(False, False, False),
-                     nee: bool = False, tri_cold=None) -> jax.Array:
+         static_argnames=("rows", "cfg", "interpret"))
+def count_frame_rays(tables, o, d, pix0, seed, rows: int,
+                     cfg: RenderConfig,
+                     interpret: bool = False) -> jax.Array:
     """EXACT ray count of one frame: camera rays + rays alive entering
     every later bounce, measured by stepping the SAME pixel-keyed PCG
     streams the Pallas engines trace (single-bounce segments, no
     reordering).  This is the honest numerator for Mrays/s — the jnp
     counter draws a different (threefry) stream and under/over-counts by
     the stream difference."""
+    t = tables
+    max_depth = cfg.max_depth
+    t_min, t_max = cfg.t_min, cfg.t_max
+    rr_depth = cfg.russian_roulette_depth
     r = o.shape[0]
     tile = rows * LANES
     pad = (-r) % tile
@@ -197,10 +192,11 @@ def count_frame_rays(o, d, pix0, sph_tab, quad_tab, tri_tab,
         scalars = jnp.stack([seed[0], jnp.int32(depth),
                              count]).astype(jnp.int32)
         state, alive = pallas_segment(
-            pix, (*state, alive_p), sph_tab, quad_tab, tri_tab,
-            sph_cl, quad_cl, tri_cl, mats, lights, scalars,
-            rows, 1, t_min, t_max, sky, interpret, rr_depth, vmem_kinds,
-            nee, tri_cold=tri_cold)
+            pix, (*state, alive_p), t.sph, t.quad, t.tri,
+            t.sph_cl, t.quad_cl, t.tri_cl, t.mats, t.lights, scalars,
+            rows, 1, t_min, t_max, t.sky, interpret, rr_depth,
+            t.vmem_kinds, t.nee, t.inst, t.itri_vmem,
+            tri_cold=t.tri_cold, itri_cold=t.itri_cold)
         state = list(state)
         alive_p = alive
         # Compact survivors to the front (in_q masks the first `count`
@@ -238,105 +234,19 @@ class WavefrontFusedRenderer(Renderer):
     vmem_threshold: int = 2048
 
     def _post_init(self) -> None:
-        from parallelraytracing_tpu.accel.lbvh import scene_primitive_aabbs
-        from parallelraytracing_tpu.ops.pallas_trace import to_vmem_rows
-        from parallelraytracing_tpu.ops.nee import extract_lights
-        from parallelraytracing_tpu.ops.pallas_trace import (
-            pack_instance_tables, pack_lights_table, to_vmem_rows)
-        from parallelraytracing_tpu.ops.pallas_trace import plan_table
-        if getattr(self._scene, "instances", None):
-            # In-kernel TLAS/BLAS (same path as the fused engine).
-            base = self._scene.build(bake_instances=False)
-            self._scene_data = jax.device_put(base)
-            host_scene = jax.device_get(base)
-            ord_base = float(host_scene.sph_valid.shape[0]
-                             + host_scene.quad_valid.shape[0]
-                             + host_scene.tri_valid.shape[0])
-            itri, iacc, ibox, inst = pack_instance_tables(
-                self._scene._inst_meshes, self._scene.instances, ord_base,
-                ordered=(self.accel == "ordered"))
-        else:
-            host_scene = jax.device_get(self._scene_data)
-            itri = None
-        sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-            host_scene, accel=self.accel)
-        self._nee = bool(self.config.nee
-                         and extract_lights(host_scene) is not None)
-        lights = pack_lights_table(host_scene)
-        self._lights_tab = jax.device_put(jnp.asarray(lights))
-        self._sph_cl = jax.device_put(jnp.asarray(sph_cl))
-        self._quad_cl = jax.device_put(jnp.asarray(quad_cl))
-        self._tri_cl = jax.device_put(jnp.asarray(tri_cl))
-        self._mats = jax.device_put(jnp.asarray(mats))
-        tabs = []
-        kinds = []
-        for tab in (sph, quad):
-            vm = tab.shape[1] > self.vmem_threshold
-            kinds.append(vm)
-            tabs.append(jax.device_put(jnp.asarray(
-                to_vmem_rows(tab) if vm else tab)))
-        self._sph_tab, self._quad_tab = tabs
-
-        from parallelraytracing_tpu.ops.pallas_trace import \
-            smem_padded_bytes
-
-        def smem_sz(a, vm=False):
-            if a is None or vm:
-                return 0
-            return smem_padded_bytes(np.asarray(a).shape)
-
-        other = sum(smem_sz(a) for a in (sph_cl, quad_cl, tri_cl, mats,
-                                         lights)) \
-            + smem_sz(sph, kinds[0]) + smem_sz(quad, kinds[1])
-        if itri is not None:
-            other += sum(smem_padded_bytes(a.shape)
-                         for a in (iacc, ibox, inst))
-        tri_tab, tri_cold, tri_vm, _ = plan_table(
-            tri, 16, other, self.vmem_threshold)
-        self._tri_tab = jax.device_put(jnp.asarray(tri_tab))
-        self._tri_cold = (None if tri_cold is None
-                          else jax.device_put(jnp.asarray(tri_cold)))
-        self._vmem_kinds = (kinds[0], kinds[1], tri_vm)
-
-        if itri is not None:
-            other += smem_sz(tri_tab, tri_vm)
-            itri_tab, itri_cold, self._itri_vmem, _ = plan_table(
-                itri, 16, other, self.vmem_threshold)
-            self._itri_cold = (None if itri_cold is None
-                               else jax.device_put(jnp.asarray(itri_cold)))
-            self._inst = tuple(jax.device_put(jnp.asarray(a))
-                               for a in (itri_tab, iacc, ibox, inst))
-        else:
-            self._inst = None
-            self._itri_vmem = False
-            self._itri_cold = None
+        from parallelraytracing_tpu.engines.tables import build_scene_tables
+        self._tables, self._scene_data = build_scene_tables(
+            self._scene, self.config, accel=self.accel,
+            vmem_threshold=self.vmem_threshold)
         self._interpret = not _on_tpu()
         cfg = self.config
         perm, inv = morton_pixel_perm(cfg.width, cfg.height)
         self._perm = jax.device_put(jnp.asarray(perm))
-        # Static scene bbox for origin quantization (union of base
-        # primitives and instance world boxes).
-        mn, mx, _, _ = scene_primitive_aabbs(host_scene)
-        mins = [mn] if len(mn) else []
-        maxs = [mx] if len(mx) else []
-        if self._inst is not None:
-            ibox = np.asarray(self._inst[2])
-            mins.append(ibox[:3].T)
-            maxs.append(ibox[3:].T)
-        if mins:
-            lo = np.concatenate(mins).min(0)
-            ext = np.maximum(np.concatenate(maxs).max(0) - lo, 1e-9)
-        else:
-            lo = np.zeros(3)
-            ext = np.ones(3)
-        self._bb = (tuple(float(x) for x in lo),
-                    tuple(float(1.0 / x) for x in ext))
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         cfg = self.config
         base = jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed), jnp.uint32(frame_index))
-        sky = tuple(float(x) for x in np.asarray(self._scene_data.sky))
         acc = None
         for s in range(cfg.samples_per_frame):
             skey = jax.random.fold_in(base, jnp.uint32(s))
@@ -352,14 +262,7 @@ class WavefrontFusedRenderer(Renderer):
             pix0 = self._perm.astype(jnp.float32)
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
             rad = segmented_trace(
-                o, d, pix0, self._sph_tab, self._quad_tab, self._tri_tab,
-                self._sph_cl, self._quad_cl, self._tri_cl, self._mats,
-                self._lights_tab,
-                seed, self.rows, self.segment, cfg.max_depth,
-                cfg.t_min, cfg.t_max, sky, self._bb,
-                self._interpret, cfg.russian_roulette_depth,
-                self._vmem_kinds, self.sort_rays, self._nee,
-                self._inst, self._itri_vmem,
-                self._tri_cold, self._itri_cold)
+                self._tables, o, d, pix0, seed, self.rows, self.segment,
+                cfg, self._interpret, self.sort_rays)
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -309,7 +309,13 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
         out[6, slot] = esc
         if kind == 1:
             span = b - a
-            assert 0 <= span < 64 and a * 64 + span < (1 << 24)
+            assert 0 <= span < 64
+            if a * 64 + span >= (1 << 24):
+                raise ValueError(
+                    f"threaded-tree leaf encoding overflows f32 integer "
+                    f"range at {a + span} primitives (packed lo*64+span "
+                    f"must stay < 2^24, i.e. < {1 << 18} primitives per "
+                    f"table). Split the mesh or decimate.")
             out[7, slot] = a * 64 + span
         else:
             out[7, slot] = -1.0
@@ -758,12 +764,23 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             # into leaf order), then globalize: leaf runs shift by
             # tri_off (row 7 packs lo*64 + span, so lo shifts as
             # tri_off*64), miss links by node_off (-1 = exit the BLAS).
+            # Globalization runs in int64 with an explicit f32-exactness
+            # gate: beyond 2^24 the packed value would round silently and
+            # corrupt leaf ranges (round-2 advisor finding).
             perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER)
             tab = np.ascontiguousarray(tab[:, perm2])
             tree = tree.copy()
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)
             leaf = tree[7] >= 0
-            tree[7, leaf] += tri_off * 64
+            enc = tree[7, leaf].astype(np.int64) + np.int64(tri_off) * 64
+            if enc.size and enc.max() >= (1 << 24):
+                raise ValueError(
+                    f"instance BLAS leaf encoding overflows f32 integer "
+                    f"range: cumulative unique-mesh triangles "
+                    f"{tri_off + nt} exceed the {1 << 18}-triangle packed "
+                    f"cap (lo*64+span must stay < 2^24). Decimate or "
+                    f"split the meshes.")
+            tree[7, leaf] = enc.astype(np.float32)
         itri_cols.append(tab)
         iacc_cols.append(tree)
         mesh_root.append(node_off)
@@ -924,21 +941,22 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 """Scalar-AABB-vs-tile slab test for a given ray set: does
                 ANY live lane hit the box at better-than-best t?  Returns
                 the scalar predicate.  Swap-insensitive in min/max
-                (inverted boxes act swapped).  origin*inv products are
-                hoisted so each plane distance is one fused multiply-sub."""
-                psx = sox * six
-                psy = soy * siy
-                psz = soz * siz
-
+                (inverted boxes act swapped).  Plane distances use the
+                EXACT (b - o) * inv form: the hoisted b*inv - o*inv
+                variant saves one op per plane but catastrophically
+                cancels for near-axis-parallel lanes whose origin lies on
+                a cluster plane (|o*inv| ~ 1e9+ makes the ulp exceed the
+                true distance, flipping tn's sign into a false cull miss
+                the exact form cannot produce — round-3 advisor finding)."""
                 def slab(ref, col, best_t):
                     bx0 = ref[0, col]; by0 = ref[1, col]; bz0 = ref[2, col]
                     bx1 = ref[3, col]; by1 = ref[4, col]; bz1 = ref[5, col]
-                    tx0 = bx0 * six - psx
-                    tx1 = bx1 * six - psx
-                    ty0 = by0 * siy - psy
-                    ty1 = by1 * siy - psy
-                    tz0 = bz0 * siz - psz
-                    tz1 = bz1 * siz - psz
+                    tx0 = (bx0 - sox) * six
+                    tx1 = (bx1 - sox) * six
+                    ty0 = (by0 - soy) * siy
+                    ty1 = (by1 - soy) * siy
+                    tz0 = (bz0 - soz) * siz
+                    tz1 = (bz1 - soz) * siz
                     tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                                  jnp.minimum(ty0, ty1)),
                                      jnp.minimum(tz0, tz1))

@@ -88,6 +88,26 @@ def generate_camera_rays_flat(
                                     jitter)
 
 
+def pixel_keyed_jitter(idx: jax.Array, seed: jax.Array):
+    """(jx, jy) in [0,1) from a stateless PCG hash of (pixel id, seed).
+
+    Unlike threefry draws over a block (whose values depend on the
+    block's size and the slot order), these depend only on the PIXEL and
+    the frame seed — so sharded/permuted raygen produces the same jitter
+    for a pixel regardless of which device traces it or how the shard
+    blocks are laid out (the same layout-invariance contract the
+    in-kernel pixel-keyed path RNG provides)."""
+    from parallelraytracing_tpu.ops.pallas_trace import _pcg_hash
+    base = idx.astype(jnp.uint32) ^ seed.astype(jnp.uint32)
+    scale = jnp.float32(1.0 / (1 << 24))
+
+    def u01(salt):
+        bits = _pcg_hash(base ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF))
+        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * scale
+
+    return u01(101), u01(102)
+
+
 def generate_camera_rays_ids(
     cam_params: jax.Array,
     width: int,
@@ -95,11 +115,13 @@ def generate_camera_rays_ids(
     idx: jax.Array,
     key: jax.Array | None = None,
     jitter: bool = True,
+    pix_seed: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rays for an EXPLICIT flat pixel-id vector — the raygen primitive
     for permuted (e.g. Morton-ordered) shard blocks, where a device's
     pixels are not a contiguous range (ids past H*W produce harmless
-    dummy rays)."""
+    dummy rays).  With pix_seed (a u32 scalar), jitter is pixel-keyed
+    (pixel_keyed_jitter) instead of threefry-block-keyed."""
     count = idx.shape[0]
     pos = cam_params[0:3]
     right = cam_params[3:6]
@@ -109,7 +131,10 @@ def generate_camera_rays_ids(
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
 
-    if jitter and key is not None:
+    if jitter and pix_seed is not None:
+        jx, jy = pixel_keyed_jitter(idx, pix_seed)
+        px, py = x + jx, y + jy
+    elif jitter and key is not None:
         j = jax.random.uniform(key, (count, 2), dtype=jnp.float32)
         px, py = x + j[:, 0], y + j[:, 1]
     else:

@@ -112,7 +112,7 @@ def render_frame_sharded_jit(scene, cam_params, key, cfg, mesh):
 
 
 def render_frame_sharded_fused(
-    scene_tables,
+    tables,
     cam_params: jax.Array,
     key: jax.Array,
     cfg: RenderConfig,
@@ -121,27 +121,37 @@ def render_frame_sharded_fused(
     interpret: bool = False,
     perm: jax.Array | None = None,
     inv: jax.Array | None = None,
+    defer_gather: bool = False,
 ) -> jax.Array:
-    """Multi-chip frame through the fused Pallas kernel: each ("px","spp")
-    device runs the VMEM-resident megakernel on its pixel block, sample
-    streams psum over ICI.  scene_tables = pack_scene_tables output + sky
-    tuple: (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
-    vmem_kinds).
+    """Multi-chip frame through the fused Pallas kernel at FULL feature
+    parity with the single-chip fused engine: each ("px","spp") device
+    runs the VMEM-resident megakernel — including NEE, hot/cold triangle
+    split and in-kernel TLAS/BLAS instancing — on its pixel block, and
+    the spp-axis sample streams psum over ICI.
+
+    tables: engines.tables.PallasSceneTables (replicated to every device
+    with a single P() spec — the scene upload the reference repeats per
+    backend, cuda_megakernel/renderer.cu:276-355, done once per mesh).
 
     perm/inv (optional): a pixel-id permutation of length n_px*blk
     (e.g. Morton order padded with out-of-range ids) and its inverse of
     length cfg.pixel_count.  Each device then traces a COHERENT screen
     block instead of a scanline strip — the 1.34x Morton-tile win the
     fused engine gets (RESULTS.md) — and the result is gathered back to
-    pixel order at the end.  RNG stays keyed on GLOBAL pixel ids, so
-    the image is invariant to the layout either way.
+    pixel order at the end.
+
+    Determinism contract: the path seed and the jitter seed derive from
+    the FRAME key only (not the device), the in-kernel RNG is keyed on
+    GLOBAL pixel ids, and jitter is pixel-keyed (pixel_keyed_jitter) —
+    so for a fixed spp-axis size the image is bit-invariant to the
+    device count, the px-shard layout and the perm.  The spp axis is the
+    one sampled dimension: spp shard i draws sample stream i.
 
     The per-device block must be a multiple of rows*128 rays."""
-    from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_trace
+    from parallelraytracing_tpu.engines.tables import trace_tables
+    from parallelraytracing_tpu.ops.pallas_trace import LANES
     from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
 
-    (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights, sky,
-     vmem_kinds) = scene_tables
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
     r = cfg.pixel_count
@@ -152,32 +162,38 @@ def render_frame_sharded_fused(
         perm = jnp.arange(n_px * blk, dtype=jnp.int32)
     assert perm.shape == (n_px * blk,), (perm.shape, n_px * blk)
 
-    def per_device(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
-                   cam, k, ids):
-        px_i = jax.lax.axis_index("px")
+    # Device-independent seeds, derived once from the frame key: spp
+    # shard i offsets them by i (sample stream i), px shards share them.
+    k_jit, k_path = jax.random.split(key)
+    seed0 = jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)
+    jseed0 = jax.random.randint(k_jit, (), 0, 2**31 - 1, jnp.int32)
+
+    def per_device(t, cam, seed0, jseed0, ids):
         spp_i = jax.lax.axis_index("spp")
-        dev_key = jax.random.fold_in(jax.random.fold_in(k, px_i), spp_i)
-        k_jit, k_path = jax.random.split(dev_key)
         ids = ids.reshape(-1)
+        sstep = jnp.int32(0x632BE5AB)  # odd: distinct streams per spp shard
+        jseed = (jseed0 + spp_i.astype(jnp.int32) * sstep).astype(jnp.uint32)
         o, d = generate_camera_rays_ids(
-            cam, cfg.width, cfg.height, ids, k_jit, cfg.jitter)
-        # Global pixel ids key the RNG, so the image is invariant to the
-        # px-shard layout.
+            cam, cfg.width, cfg.height, ids, None, cfg.jitter,
+            pix_seed=jseed)
+        # Global pixel ids key the in-kernel RNG, so the image is
+        # invariant to the px-shard layout.
         pix = ids.astype(jnp.float32)
-        seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
-        rad = pallas_trace(o, d, pix, sph, quad, tri, sph_cl, quad_cl,
-                           tri_cl, mats, lights, seed, rows, cfg.max_depth,
-                           cfg.t_min, cfg.t_max,
-                           sky, interpret=interpret, vmem_kinds=vmem_kinds)
+        seed = (seed0 + spp_i.astype(jnp.int32) * sstep)[None]
+        rad = trace_tables(t, o, d, pix, seed, rows, cfg, interpret)
         return jax.lax.psum(rad, axis_name="spp")
 
     shard = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(*(P(),) * 10, P("px")),
+        in_specs=(P(), P(), P(), P(), P("px")),
         out_specs=P("px", None),
         check_vma=False)
-    out = shard(sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, lights,
-                cam_params, key, perm)
+    out = shard(tables, cam_params, seed0, jseed0, perm)
+    if defer_gather:
+        # Caller keeps the film in perm order (Film.set_layout): the
+        # (n_px*blk, 3) result STAYS px-sharded — zero per-frame gathers,
+        # the accumulation is distributed like the tracing.
+        return out / n_spp
     if inv is not None:
         return jnp.take(out, inv, axis=0) / n_spp
     return out[:r] / n_spp

@@ -176,6 +176,11 @@ class ViewerState:
         self.engine_name = engine_name
         self.renderer = create_renderer(engine_name)
         self.renderer.init(self.film, scene, camera, cfg)
+        # Initialized-engine cache: the reference Inits every backend once
+        # and flips between them for free (main.cpp:165-166, 476-485);
+        # here engines init lazily on first selection but STAY warm (jit
+        # caches included), so switching back is instant.
+        self.renderer_cache = {engine_name: self.renderer}
         self.lock = threading.Lock()
         self.camera_dirty = False
         self.switch_to = None
@@ -229,9 +234,30 @@ class ViewerState:
                 self.png_cache = _png_bytes_py(buf)
             self.encode_ms = (time.perf_counter() - t0) * 1e3
 
+    # -------------------------------------------------------- engine switch
+    def _switch_engine(self, name: str) -> None:
+        """Engine radio-select: clears the film (main.cpp:476-485); warm
+        engines come from the cache (init + jit paid once —
+        main.cpp:165-166 Inits every backend up front; here lazily on
+        first selection, then kept), cold ones init on first use."""
+        from parallelraytracing_tpu import create_renderer
+        self.engine_name = name
+        cached = self.renderer_cache.get(name)
+        if cached is not None:
+            self.renderer = cached
+            self.renderer.set_camera(self.camera)
+            # engines may keep the film in their own storage layout
+            # (e.g. sharded's px-sharded Morton order)
+            self.film.set_layout(cached.film_layout())
+        else:
+            self.renderer = create_renderer(name)
+            self.renderer.init(self.film, self.scene, self.camera, self.cfg)
+            self.renderer_cache[name] = self.renderer
+        self.film.clear()
+        self.renderer.reset_progressive()
+
     # ---------------------------------------------------- frame loop (main)
     def run(self) -> None:
-        from parallelraytracing_tpu import create_renderer
         from parallelraytracing_tpu.utils.sync import device_sync
 
         last = time.time()
@@ -246,11 +272,7 @@ class ViewerState:
                 self.switch_to = None
 
             if switch:
-                # engine radio-select clears the film (main.cpp:476-485)
-                self.engine_name = switch
-                self.renderer = create_renderer(switch)
-                self.renderer.init(self.film, self.scene, self.camera, self.cfg)
-                self.film.clear()
+                self._switch_engine(switch)
             if moved:
                 # camera move -> SetCamera + film.Clear (main.cpp:506-511)
                 self.renderer.set_camera(self.camera)

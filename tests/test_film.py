@@ -69,3 +69,59 @@ def test_png_roundtrip(tmp_path):
     write_png(p, img)
     back = read_png(p)
     np.testing.assert_array_equal(back, img)
+
+
+def test_film_layout_roundtrip_preserves_content():
+    """Engine storage layouts (Film.set_layout): accumulation written in
+    a permuted (slots >= H*W) order reads back canonically through every
+    output path, and installing/removing a layout CONVERTS the content
+    (checkpoint resume + viewer engine switches keep progressive state)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parallelraytracing_tpu.core.film import Film
+
+    h, w, slots = 4, 6, 32  # 24 pixels stored in 32 padded slots
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(slots)[:h * w]  # slot of pixel p = perm[p]
+    inv = np.asarray(perm, np.int32)
+
+    # canonical accumulation first, then install the layout: content must
+    # survive the conversion
+    film = Film(w, h)
+    rgb0 = rng.uniform(0.1, 2.0, (h * w, 3)).astype(np.float32)
+    film.add_sample_buffer(jnp.asarray(rgb0))
+    before = np.asarray(film.hdr_average())
+    film.set_layout((inv, slots))
+    np.testing.assert_allclose(np.asarray(film.hdr_average()), before,
+                               rtol=1e-6)
+
+    # accumulate IN layout order: slot perm[p] carries pixel p
+    rgb1 = rng.uniform(0.1, 2.0, (h * w, 3)).astype(np.float32)
+    buf = np.zeros((slots, 3), np.float32)
+    buf[perm] = rgb1
+    film.add_sample_buffer(jnp.asarray(buf))
+    want = (rgb0 + rgb1).reshape(h, w, 3) / 2.0
+    np.testing.assert_allclose(np.asarray(film.hdr_average()), want,
+                               rtol=1e-6)
+    assert film.sample_count == 2
+
+    # display path goes through the same gather
+    disp = np.asarray(film.to_display())
+    assert disp.shape == (h, w, 4)
+
+    # checkpoint is canonical; restoring into a plain film matches
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ckpt.npz")
+        film.save_checkpoint(p, frame_index=2)
+        film2, fi = Film.load_checkpoint(p)
+        assert fi == 2
+        np.testing.assert_allclose(np.asarray(film2.hdr_average()), want,
+                                   rtol=1e-6)
+
+    # removing the layout converts back
+    film.set_layout(None)
+    assert film.accum.shape == (h, w, 3)
+    np.testing.assert_allclose(np.asarray(film.hdr_average()), want,
+                               rtol=1e-6)

@@ -252,12 +252,12 @@ def test_collect_stats_counters():
         else jnp.pad(jnp.arange(rc, dtype=jnp.float32), (0, pad))
     seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
                                            jnp.int32)], jnp.int32)
-    sky = tuple(float(x) for x in np.asarray(r._scene_data.sky))
-    args = (o, d, pix, r._sph_tab, r._quad_tab, r._tri_tab, r._sph_cl,
-            r._quad_cl, r._tri_cl, r._mats, r._lights_tab, seed)
+    t = r._tables
+    args = (o, d, pix, t.sph, t.quad, t.tri, t.sph_cl,
+            t.quad_cl, t.tri_cl, t.mats, t.lights, seed)
     kw = dict(rows=r.rows, max_depth=cfg.max_depth, t_min=cfg.t_min,
-              t_max=cfg.t_max, sky=sky, interpret=r._interpret,
-              vmem_kinds=r._vmem_kinds)
+              t_max=cfg.t_max, sky=t.sky, interpret=r._interpret,
+              vmem_kinds=t.vmem_kinds)
     plain = pallas_trace(*args, **kw)
     rad, stats = pallas_trace(*args, collect_stats=True, **kw)
     assert np.array_equal(np.asarray(plain), np.asarray(rad))

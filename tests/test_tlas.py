@@ -55,9 +55,9 @@ def test_memory_proportional_to_unique_meshes():
     assert int(np.asarray(flat.tri_valid).sum()) == 4 * n_mesh_tris
 
 
-def test_tlas_matches_baked_oracle():
+def test_tlas_ref_matches_baked_oracle():
     s, _ = instanced_scene()
-    img_tlas = render("tlas", s)
+    img_tlas = render("tlas_ref", s)
     s2, _ = instanced_scene()
     img_oracle = render("megakernel", s2)
     rmse = float(np.sqrt(np.mean((img_tlas - img_oracle) ** 2)))
@@ -77,7 +77,7 @@ def test_tlas_instance_transforms_respected():
         s.add_mesh_instances(mesh, m, [((scale,) * 3, (0, 0, 0), (0, 1, 0))])
         g = s.add_lambertian((0.5, 0.5, 0.5))
         s.add_quad(30, 30, g, None)
-        return render("tlas", s, frames=2)
+        return render("tlas_ref", s, frames=2)
     a = one(1.0)
     b = one(2.0)
     assert np.abs(a - b).max() > 0.01
@@ -124,10 +124,10 @@ def test_fused_in_kernel_tlas_matches_baked():
         if inst:
             # instanced path active: no baked triangles, geometry stored
             # once for 4 instances
-            assert r._inst is not None
+            assert r._tables.inst is not None
             assert int(np.asarray(r._scene_data.tri_valid).sum()) == 0
             n_unique = len(np.asarray(mesh.indices)) // 3
-            assert np.asarray(r._inst[0]).shape[1] == n_unique
+            assert np.asarray(r._tables.inst[0]).shape[1] == n_unique
         for _ in range(8):
             r.progressive_render()
         imgs[tag] = np.asarray(film.hdr_average())
@@ -147,8 +147,25 @@ def test_wavefront_fused_instanced_bitmatches_fused():
         if engine == "wavefront_fused":
             r.segment = 2
         r.init(film, s, default_camera(cfg.width, cfg.height), cfg)
-        assert r._inst is not None  # in-kernel TLAS active in both
+        assert r._tables.inst is not None  # in-kernel TLAS active in both
         for _ in range(3):
             r.progressive_render()
         imgs[engine] = np.asarray(film.hdr_average())
     np.testing.assert_array_equal(imgs["fused"], imgs["wavefront_fused"])
+
+
+def test_tlas_engine_is_the_fast_path():
+    """`--engine tlas` routes through the fused in-kernel TLAS (the jnp
+    mirror was a ~250x-slower trap as the registered engine — VERDICT
+    r2); the mirror stays registered as `tlas_ref` for oracle tests."""
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+    from parallelraytracing_tpu.engines.tlas import TLASRefRenderer
+    assert isinstance(create_renderer("tlas"), FusedRenderer)
+    assert isinstance(create_renderer("tlas_ref"), TLASRefRenderer)
+
+    s, _ = instanced_scene()
+    cfg = CFG.replace(jitter=False)
+    a = render("tlas", s, frames=2, cfg=cfg)
+    s2, _ = instanced_scene()
+    b = render("fused", s2, frames=2, cfg=cfg)
+    np.testing.assert_array_equal(a, b)
