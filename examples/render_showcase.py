@@ -140,10 +140,11 @@ def main():
     s.add_sphere(3.5, light, ((1, 1, 1), (0, 0, 0), (14, 26, 14)))
     eye = np.array([0.0, 12.0, 30.0])
     look = np.array([0.0, 5.0, 0.0])
-    # fused traces the instances natively (in-kernel TLAS/BLAS) on TPU,
-    # ~250x the jnp tlas engine; tlas remains the jnp correctness mirror.
+    # `tlas` is the fused in-kernel TLAS/BLAS fast path (~250x the jnp
+    # mirror); off-TPU use the jnp mirror `tlas_ref` (interpret-mode
+    # Pallas would crawl at this size).
     render("multimesh_tlas", s, Camera(eye, look - eye, 512, 288),
-           fast if on_tpu else "tlas", 512, 288, 8, depth=6)
+           "tlas" if on_tpu else "tlas_ref", 512, 288, 8, depth=6)
 
 
 if __name__ == "__main__":

@@ -53,13 +53,17 @@ class PallasSceneTables:
     sky: Tuple[float, float, float]
     #: static scene bbox (lo, 1/extent) for origin-Morton quantization
     bb: Tuple[Tuple[float, float, float], Tuple[float, float, float]]
+    #: per-kind fine-view roots for the straggler-tail walk
+    #: (pallas_trace TAIL_CLUSTER; (-1,-1,-1) = single-view trees)
+    tail_roots: Tuple[int, int, int] = (-1, -1, -1)
 
 
 jax.tree_util.register_dataclass(
     PallasSceneTables,
     data_fields=["sph", "quad", "tri", "sph_cl", "quad_cl", "tri_cl",
                  "mats", "lights", "tri_cold", "inst", "itri_cold"],
-    meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb"],
+    meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
+                 "tail_roots"],
 )
 
 
@@ -97,8 +101,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         host_scene = jax.device_get(scene_data)
         itri = None
 
-    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
-        host_scene, accel=accel, eye=eye)
+    (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
+     tail_roots) = pack_scene_tables(host_scene, accel=accel, eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
 
@@ -174,6 +178,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         sky=tuple(float(x) for x in np.asarray(host_scene.sky)),
         bb=(tuple(float(x) for x in lo),
             tuple(float(1.0 / x) for x in ext)),
+        tail_roots=tuple(int(x) for x in tail_roots),
     )
     return tables, scene_data
 
@@ -191,4 +196,4 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         vmem_kinds=t.vmem_kinds, nee=t.nee, inst=t.inst,
         itri_vmem=t.itri_vmem, sub_rows=sub_rows,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
-        itri_cold=t.itri_cold)
+        itri_cold=t.itri_cold, tail_roots=t.tail_roots)

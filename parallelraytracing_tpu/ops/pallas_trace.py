@@ -68,6 +68,15 @@ import os as _os
 CLUSTER = int(_os.environ.get("PRT_CLUSTER", "24"))
 TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "4"))
 
+# Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
+# table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
+# and bounces >= TAIL_DEPTH walk it instead of the fat-leaf view — tiles
+# kept alive by 1-2 straggler lanes then test far fewer primitives per
+# entered leaf (the dead-tail cost the round-2 diagnostics measured).
+# 0 disables (single fat view, round-2 behavior).
+TAIL_CLUSTER = int(_os.environ.get("PRT_TAIL_CLUSTER", "0"))
+TAIL_DEPTH = int(_os.environ.get("PRT_TAIL_DEPTH", "4"))
+
 
 def _cluster_bounds(mn: np.ndarray, mx: np.ndarray,
                     csize: int = None) -> np.ndarray:
@@ -166,9 +175,21 @@ def _cluster_tree(cl: np.ndarray, n_prims: int,
 STACK_CAP = 128
 
 
-def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
+def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
+                       tail_csize: int = 0):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
+
+    With tail_csize > 0 (straggler-tail traversal, see TAIL_CLUSTER):
+    the tree is BUILT at tail_csize granularity, then TWO threaded views
+    share one table: columns [0, Mc) are the COARSE view (maximal
+    subtrees holding <= csize primitives collapsed into fat leaves — the
+    cheap walk for fully-alive bounces) and columns [Mc, M) are the FINE
+    view (tail_csize leaves — fewer primitives tested per entered leaf
+    when only straggler lanes are alive).  Both views index the same
+    permuted primitive columns, so traversal results are bit-identical;
+    returns (perm, table, Mc) in that case (Mc = the fine view's root
+    column, fed to the kernel as a walk start).
 
     Replaces the Karras-over-Morton-runs topology for the tree path:
     top-down builds with a 16-bin surface-area heuristic per axis, leaf
@@ -182,6 +203,9 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
     lockstep walk."""
     import sys
     n = len(mn)
+    if tail_csize and tail_csize >= csize:
+        tail_csize = 0
+    leaf_size = tail_csize if tail_csize else csize
     valid = (mn <= mx).all(1)
     ids_v = np.nonzero(valid)[0]
     ids_i = np.nonzero(~valid)[0]
@@ -191,6 +215,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
         out[3:6, 0] = -1.0
         out[6, 0] = -1.0
         out[7, 0] = 0.0  # empty leaf: lo = 0, span = 0
+        if tail_csize:
+            return np.arange(n), out, 0
         return np.arange(n), out
 
     cen = (mn + mx) * 0.5
@@ -210,7 +236,7 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
     def build(ids, depth=0):
         bmn = mn[ids].min(0)
         bmx = mx[ids].max(0)
-        if len(ids) <= csize:
+        if len(ids) <= leaf_size:
             lo = len(perm_out)
             perm_out.extend(ids.tolist())
             recs.append([bmn, bmx, 1, lo, len(perm_out)])
@@ -289,41 +315,68 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int):
                            ids_i]).astype(np.int64)
     assert len(perm) == n and len(set(perm.tolist())) == n
 
-    # emit threaded preorder with escape links; a left child escapes to
-    # its right sibling's slot = parent_slot + 1 + size(left subtree)
-    # (children records have higher ids than their parent, so a reverse
-    # sweep computes subtree sizes).
+    # Per-record primitive counts and (contiguous) perm ranges — children
+    # records have higher ids than their parent, so one reverse sweep.
     m = len(recs)
-    size = np.ones(m, np.int64)
+    cnt = np.zeros(m, np.int64)
+    rlo = np.zeros(m, np.int64)
+    rhi = np.zeros(m, np.int64)
     for ri in range(m - 1, -1, -1):
-        if recs[ri][2] == 0:
-            size[ri] = 1 + size[recs[ri][3]] + size[recs[ri][4]]
-    out = np.zeros((8, m), np.float32)
-    slot = 0
-    stack = [(root, -1)]
-    while stack:
-        ri, esc = stack.pop()
-        bmn, bmx, kind, a, b = recs[ri]
-        out[:3, slot] = bmn
-        out[3:6, slot] = bmx
-        out[6, slot] = esc
+        _, _, kind, a, b = recs[ri]
         if kind == 1:
-            span = b - a
-            assert 0 <= span < 64
-            if a * 64 + span >= (1 << 24):
-                raise ValueError(
-                    f"threaded-tree leaf encoding overflows f32 integer "
-                    f"range at {a + span} primitives (packed lo*64+span "
-                    f"must stay < 2^24, i.e. < {1 << 18} primitives per "
-                    f"table). Split the mesh or decimate.")
-            out[7, slot] = a * 64 + span
+            cnt[ri] = b - a
+            rlo[ri], rhi[ri] = a, b
         else:
-            out[7, slot] = -1.0
-            stack.append((b, esc))
-            stack.append((a, slot + 1 + size[a]))
-        slot += 1
-    assert slot == m
-    return perm, out
+            cnt[ri] = cnt[a] + cnt[b]
+            rlo[ri] = min(rlo[a], rlo[b])
+            rhi[ri] = max(rhi[a], rhi[b])
+
+    def emit(collapse, base):
+        """Threaded preorder with escape links (a left child escapes to
+        its right sibling's slot = parent_slot + 1 + size(left subtree)).
+        A record emits as a LEAF when it is one, or when its subtree
+        holds <= collapse primitives (the coarse view); escape links are
+        offset by `base` (the view's first column)."""
+        def is_leaf_rec(ri):
+            return recs[ri][2] == 1 or (collapse and cnt[ri] <= collapse)
+
+        size = np.ones(m, np.int64)
+        for ri in range(m - 1, -1, -1):
+            if not is_leaf_rec(ri):
+                size[ri] = 1 + size[recs[ri][3]] + size[recs[ri][4]]
+        out = np.zeros((8, size[root]), np.float32)
+        slot = 0
+        stack = [(root, -1)]
+        while stack:
+            ri, esc = stack.pop()
+            bmn, bmx, kind, a, b = recs[ri]
+            out[:3, slot] = bmn
+            out[3:6, slot] = bmx
+            out[6, slot] = esc
+            if is_leaf_rec(ri):
+                lo, span = rlo[ri], rhi[ri] - rlo[ri]
+                assert 0 <= span < 64
+                if lo * 64 + span >= (1 << 24):
+                    raise ValueError(
+                        f"threaded-tree leaf encoding overflows f32 "
+                        f"integer range at {lo + span} primitives (packed "
+                        f"lo*64+span must stay < 2^24, i.e. < {1 << 18} "
+                        f"primitives per table). Split the mesh or "
+                        f"decimate.")
+                out[7, slot] = lo * 64 + span
+            else:
+                out[7, slot] = -1.0
+                stack.append((b, esc))
+                stack.append((a, base + slot + 1 + size[a]))
+            slot += 1
+        assert slot == size[root]
+        return out
+
+    if not tail_csize:
+        return perm, emit(None, 0)
+    coarse = emit(csize, 0)
+    fine = emit(None, coarse.shape[1])
+    return perm, np.concatenate([coarse, fine], axis=1), coarse.shape[1]
 
 
 def _cluster_stack_tree(cl: np.ndarray, n_prims: int,
@@ -476,9 +529,12 @@ def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
 TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "4"))
 
 
-def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
+def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
+                      tail_csize: int = None):
     """Returns (sph_tab, quad_tab, tri_tab, sph_acc, quad_acc, tri_acc,
-    mats) float32 host arrays.  Primitives of each kind are sorted by the Morton
+    mats, tail_roots) float32 host arrays; tail_roots = per-kind fine-view
+    root columns for the straggler-tail walk (TAIL_CLUSTER; -1 = none).
+    Primitives of each kind are sorted by the Morton
     code of their AABB centroid so consecutive runs of CLUSTER primitives
     are spatially tight; *_acc is the per-kind acceleration table the
     kernel culls with — "tree" builds a binned-SAH threaded escape-link
@@ -522,6 +578,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     """
     from parallelraytracing_tpu.accel.lbvh import morton3d
     from parallelraytracing_tpu.core import geometry as geo
+    if tail_csize is None:
+        tail_csize = TAIL_CLUSTER
     mt = np.asarray(scene.mat_type, np.float32)
     alb = np.asarray(scene.mat_albedo, np.float32)
     emit = np.asarray(scene.mat_emit, np.float32)
@@ -546,21 +604,28 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
     n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
 
-    def accelerate(tab, cl, mn2, mx2, n, csize=None, pad_col=None):
-        """Per-kind acceleration-table choice (see docstring)."""
+    def accelerate(tab, cl, mn2, mx2, n, csize=None, pad_col=None,
+                   tail_csize=0):
+        """Per-kind acceleration-table choice (see docstring).  Returns
+        (tab, acc_table, tail_root) — tail_root is the fine view's root
+        column for the straggler-tail walk (-1 when absent)."""
         csize = csize or CLUSTER
         if accel == "ordered":
-            return tab, _cluster_stack_tree(cl, n, csize)
+            return tab, _cluster_stack_tree(cl, n, csize), -1
         if accel == "ktree":   # Karras-over-Morton-runs (the pre-SAH tree)
-            return tab, _cluster_tree(cl, n, csize)
+            return tab, _cluster_tree(cl, n, csize), -1
         if accel == "tree" or (accel == "auto"
                                and cl.shape[1] > TREE_THRESHOLD):
+            if tail_csize:
+                perm, tree, troot = _sah_threaded_tree(mn2, mx2, csize,
+                                                       tail_csize)
+                return np.ascontiguousarray(tab[:, perm]), tree, troot
             perm, tree = _sah_threaded_tree(mn2, mx2, csize)
-            return np.ascontiguousarray(tab[:, perm]), tree
+            return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
-            return tab, _append_root(cl, mn2, mx2)
-        return tab, _append_root(cl, mn2, mx2)
+            return tab, _append_root(cl, mn2, mx2), -1
+        return tab, _append_root(cl, mn2, mx2), -1
 
     def _append_root(cl, mn2, mx2):
         """Append the kind's union (root) AABB as the LAST column of a
@@ -598,9 +663,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
     # invalid pads get inverted boxes so their cluster test can't pass
     s_mn2 = np.where(sv[:, None], s_mn[s_ord], np.float64(1.0))
     s_mx2 = np.where(sv[:, None], s_mx[s_ord], np.float64(-1.0))
-    sph, sph_cl = accelerate(sph, _cluster_bounds(s_mn2, s_mx2),
-                             s_mn2, s_mx2, len(sv),
-                             pad_col=np.array([0, 0, 0, -1, 0, 0]))
+    sph, sph_cl, sph_troot = accelerate(
+        sph, _cluster_bounds(s_mn2, s_mx2), s_mn2, s_mx2, len(sv),
+        pad_col=np.array([0, 0, 0, -1, 0, 0]), tail_csize=tail_csize)
 
     qn = np.asarray(scene.quad_normal, np.float32)
     qc = np.asarray(scene.quad_center, np.float32)
@@ -631,8 +696,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         (q_ord + n_sph_full).astype(np.float32)[None]], axis=0)
     q_mn2 = np.where(qvd[:, None], q_mn[q_ord], np.float64(1.0))
     q_mx2 = np.where(qvd[:, None], q_mx[q_ord], np.float64(-1.0))
-    quad, quad_cl = accelerate(quad, _cluster_bounds(q_mn2, q_mx2),
-                               q_mn2, q_mx2, len(qvd))
+    quad, quad_cl, quad_troot = accelerate(
+        quad, _cluster_bounds(q_mn2, q_mx2), q_mn2, q_mx2, len(qvd),
+        tail_csize=tail_csize)
 
     v0 = np.asarray(scene.tri_v0, np.float32)
     v1 = np.asarray(scene.tri_v1, np.float32)
@@ -665,12 +731,13 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None):
         np.asarray(scene.tri_n2, np.float32)[t_ord].T], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
-    tri, tri_cl = accelerate(tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
-                             t_mn2, t_mx2, len(tvd), TRI_CLUSTER)
+    tri, tri_cl, tri_troot = accelerate(
+        tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
+        t_mn2, t_mx2, len(tvd), TRI_CLUSTER)
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
-            np.ascontiguousarray(mats))
+            np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot))
 
 
 def pack_lights_table(scene: SceneData) -> np.ndarray:
@@ -859,7 +926,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       inst_refs=None, n_inst: int = 0,
                       itri_vmem: bool = False, stack_ref=None,
                       stats_ref=None, tri_cold_get=None,
-                      itri_cold_get=None):
+                      itri_cold_get=None,
+                      tree_starts=(0, 0, 0)):
     f0 = jnp.zeros(shape, jnp.float32)
 
     # Does any acceleration table use the ordered (10, M) layout?  Static:
@@ -1084,12 +1152,13 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     (jnp.int32(0) + start, carry))
                 return carry
 
-            def clustered(n, cl_ref, body, carry, csize=CLUSTER):
+            def clustered(n, cl_ref, body, carry, csize=CLUSTER, start=0):
                 """Per-kind hierarchical cull.  Dispatches on the acceleration
                 table's static shape: (8, M) = threaded cluster-BVH lockstep
-                walk (leaf ranges come from the table); (6, n_cl + 1) = linear
-                scan over csize-sized runs with one scalar-predicated slab
-                test each; tiny kinds skip culling."""
+                walk (leaf ranges come from the table; `start` selects the
+                view — 0 = coarse, the fine tail view's root otherwise);
+                (6, n_cl + 1) = linear scan over csize-sized runs with one
+                scalar-predicated slab test each; tiny kinds skip culling."""
                 n_cl = max(1, -(-n // csize))
                 if cl_ref is None or n <= csize:
                     return jax.lax.fori_loop(0, n, body, carry)
@@ -1098,7 +1167,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     return stack_walk(cl_ref, body, carry, slab_any_hit,
                                       sgn_w)
                 if cl_ref.shape[0] == 8:
-                    return tree_walk(cl_ref, body, carry)
+                    return tree_walk(cl_ref, body, carry, start=start)
 
                 def cl_body(ci, carry):
                     pred = slab_any_hit(cl_ref, ci, carry[0])
@@ -1154,7 +1223,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return fold(carry, t, ok, flags, cx, cy, cz, mat, ordv)
 
             sph_cl = cluster_refs[0] if cluster_refs else None
-            carry = clustered(n_sph, sph_cl, sph_body, carry0)
+            carry = clustered(n_sph, sph_cl, sph_body, carry0,
+                              start=tree_starts[0])
 
             # --- quads (shape.h:213-239 baked to world space)
             def quad_body(j, carry):
@@ -1187,7 +1257,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return fold(carry, t, ok, flags, qnx, qny, qnz, mat, ordv)
 
             quad_cl = cluster_refs[1] if cluster_refs else None
-            carry = clustered(n_quad, quad_cl, quad_body, carry)
+            carry = clustered(n_quad, quad_cl, quad_body, carry,
+                              start=tree_starts[1])
 
             # --- triangles (Moller-Trumbore via triple products; smooth normal
             #     interpolated from barycentrics at test time, shape.h:262-303)
@@ -1237,7 +1308,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return fold(carry, t, ok, flags, inx, iny, inz, mat, ordv)
 
             tri_cl = cluster_refs[2] if cluster_refs else None
-            carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER)
+            carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER,
+                              start=tree_starts[2])
 
             if inst_refs is not None and n_inst > 0:
                 # ---- instanced meshes (in-kernel TLAS/BLAS, the role of
@@ -1604,7 +1676,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sky, rr_depth=0, vmem_kinds=(False, False, False),
                        nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                        sub_rows=0, collect_stats=False,
-                       tri_split=False, itri_split=False):
+                       tri_split=False, itri_split=False,
+                       tail_roots=None, tail_depth=TAIL_DEPTH):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -1647,14 +1720,27 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             inst_refs = None
         shape = (sub, LANES)
 
-        step = _make_bounce_step(
-            shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
-            make_reader(sph_ref, vmem_kinds[0]),
-            make_reader(quad_ref, vmem_kinds[1]),
-            make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
-            stack_ref, stats_scr, tri_cold_get, itri_cold_get)
+        def mk_step(starts):
+            return _make_bounce_step(
+                shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
+                make_reader(sph_ref, vmem_kinds[0]),
+                make_reader(quad_ref, vmem_kinds[1]),
+                make_reader(tri_ref, vmem_kinds[2]),
+                rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
+                lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
+                stack_ref, stats_scr, tri_cold_get, itri_cold_get,
+                tree_starts=starts)
+
+        step = mk_step((0, 0, 0))
+        # Straggler-tail phase: bounces >= tail_depth walk the FINE view
+        # of the shared SAH tree (roots from _sah_threaded_tree) — when a
+        # tile is held alive by a few straggler lanes, thin leaves test
+        # far fewer primitives per entry.  Results are bit-identical
+        # (same primitives, strict-</ordinal fold) — only cost moves.
+        tail = (tail_roots is not None and any(r > 0 for r in tail_roots)
+                and 0 < tail_depth < max_depth)
+        if tail:
+            step_tail = mk_step(tuple(max(r, 0) for r in tail_roots))
 
         f0 = jnp.zeros(shape, jnp.float32)
         f1 = jnp.ones(shape, jnp.float32)
@@ -1673,22 +1759,34 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                      dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :],
                      f1, f1, f1, f0, f0, f0, f1)
 
-            def bounce(depth, state):
-                # Early exit: a fully-terminated block skips the primitive
-                # loops (the queue-emptiness check the reference disabled
-                # to avoid host sync, renderer.cu:422-425 — free here).
-                any_alive = jnp.sum(state[12]) > 0.0
-                if collect_stats:
-                    stats_scr[3] = stats_scr[3] + any_alive.astype(jnp.int32)
+            def make_bounce(stp):
+                def bounce(depth, state):
+                    # Early exit: a fully-terminated block skips the
+                    # primitive loops (the queue-emptiness check the
+                    # reference disabled to avoid host sync,
+                    # renderer.cu:422-425 — free here).
+                    any_alive = jnp.sum(state[12]) > 0.0
+                    if collect_stats:
+                        stats_scr[3] = stats_scr[3] \
+                            + any_alive.astype(jnp.int32)
 
-                def live(st):
-                    rng_d = rng_base \
-                        + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
-                    return step(rng_d, st, depth)
+                    def live(st):
+                        rng_d = rng_base \
+                            + jnp.uint32(depth) * jnp.uint32(0x85EBCA6B)
+                        return stp(rng_d, st, depth)
 
-                return jax.lax.cond(any_alive, live, lambda st: st, state)
+                    return jax.lax.cond(any_alive, live, lambda st: st,
+                                        state)
+                return bounce
 
-            state = jax.lax.fori_loop(0, max_depth, bounce, state)
+            if tail:
+                state = jax.lax.fori_loop(0, tail_depth,
+                                          make_bounce(step), state)
+                state = jax.lax.fori_loop(tail_depth, max_depth,
+                                          make_bounce(step_tail), state)
+            else:
+                state = jax.lax.fori_loop(0, max_depth, make_bounce(step),
+                                          state)
             rr_ref[sl, :] = state[9]
             rg_ref[sl, :] = state[10]
             rb_ref[sl, :] = state[11]
@@ -1718,7 +1816,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     jax.jit,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds", "nee",
-                     "itri_vmem", "sub_rows", "collect_stats"))
+                     "itri_vmem", "sub_rows", "collect_stats",
+                     "tail_roots", "tail_depth"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -1731,6 +1830,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  nee: bool = False, inst=None, itri_vmem: bool = False,
                  sub_rows: int = 0, collect_stats: bool = False,
                  tri_cold=None, itri_cold=None,
+                 tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -1764,7 +1864,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 sky, rr_depth, vmem_kinds, nee, n_lights,
                                 n_inst, itri_vmem, sub_rows, collect_stats,
                                 tri_cold is not None,
-                                itri_cold is not None)
+                                itri_cold is not None,
+                                tail_roots, tail_depth)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -37,7 +37,7 @@ def test_scene_tables_shapes():
     import numpy as np
 
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
-    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats = pack_scene_tables(
+    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, _troots = pack_scene_tables(
         scene, accel="linear")
     assert sph.shape[0] == 6 and sph.shape[1] == scene.sph_radius.shape[0]
     assert quad.shape[0] == 14
@@ -342,3 +342,65 @@ def test_sah_tree_structure():
         if len(ids):
             assert (mn[ids] >= t[:3, s][None] - 1e-4).all()
             assert (mx[ids] <= t[3:6, s][None] + 1e-4).all()
+
+
+def test_tail_view_bit_identical_and_well_formed():
+    """Straggler-tail traversal (TAIL_CLUSTER): the coarse and fine views
+    share one leaf permutation, so switching views mid-frame cannot
+    change the image — only where the walk cost goes.  Checks the
+    combined table's fine view covers every primitive exactly once and
+    that a traced frame is BIT-identical with the tail walk active."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parallelraytracing_tpu.ops.pallas_trace import (
+        _sah_threaded_tree, pack_scene_tables, pallas_trace)
+
+    # --- structural: both views partition the primitives exactly once
+    rng = np.random.default_rng(3)
+    n = 500
+    mn = rng.uniform(-40, 40, (n, 3))
+    mx = mn + rng.uniform(0.1, 3.0, (n, 3))
+    perm, tree, troot = _sah_threaded_tree(mn, mx, 24, tail_csize=8)
+    assert 0 < troot < tree.shape[1]
+    for lo_col, hi_col in ((0, troot), (troot, tree.shape[1])):
+        enc = tree[7, lo_col:hi_col]
+        leaves = enc >= 0
+        lo = (enc.astype(np.int64) >> 6)
+        hi = lo + (enc.astype(np.int64) & 63)
+        cover = np.zeros(n, np.int32)
+        for s in np.nonzero(leaves)[0]:
+            cover[int(lo[s]):int(hi[s])] += 1
+        assert (cover == 1).all(), (lo_col, hi_col)
+    # fine view has more leaves (thinner)
+    n_coarse = (tree[7, :troot] >= 0).sum()
+    n_fine = (tree[7, troot:] >= 0).sum()
+    assert n_fine > n_coarse
+
+    # --- behavioral: traced image identical with/without the tail walk
+    scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
+    cfg = small_cfg(width=64, height=32, max_depth=6)
+    from parallelraytracing_tpu.core.camera import default_camera
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    o, d = generate_camera_rays(cam, cfg.width, cfg.height, None, False)
+    pix = jnp.arange(cfg.pixel_count, dtype=jnp.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+    sky = tuple(float(x) for x in np.asarray(scene.sky))
+
+    imgs = []
+    for tail in (0, 8):
+        (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
+         troots) = pack_scene_tables(scene, accel="tree", tail_csize=tail)
+        args = [jnp.asarray(a) for a in
+                (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats)]
+        rad = pallas_trace(
+            o, d, pix, *args, jnp.zeros((18, 1), jnp.float32), seed,
+            rows=2, max_depth=cfg.max_depth, t_min=cfg.t_min,
+            t_max=cfg.t_max, sky=sky, interpret=True,
+            tail_roots=tuple(troots) if tail else None, tail_depth=3)
+        imgs.append(np.asarray(rad))
+        if tail:
+            assert troots[0] > 0  # sphere tree really has a fine view
+    np.testing.assert_array_equal(imgs[0], imgs[1])
