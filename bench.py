@@ -95,18 +95,24 @@ def main() -> None:
         seed chain), via single-bounce Pallas segments."""
         import jax.numpy as jnp
 
-        from parallelraytracing_tpu.engines.megakernel import raygen
         from parallelraytracing_tpu.engines.wavefront_fused import \
             count_frame_rays
+        from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
         total = 0
+        ids = jnp.arange(cfg.pixel_count, dtype=jnp.int32)
         for f in range(n_frames):
             base = jax.random.fold_in(
                 jax.random.PRNGKey(cfg.seed), jnp.uint32(f))
             skey = jax.random.fold_in(base, jnp.uint32(0))
             k_jit, k_path = jax.random.split(skey)
-            o, d = raygen(r._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter)
-            pix = jnp.arange(cfg.pixel_count, dtype=jnp.float32)
+            # the engines' exact streams: pixel-keyed jitter + frame seed
+            # (order-invariant, so scanline ids replay Morton traces)
+            jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
+                                       jnp.int32).astype(jnp.uint32)
+            o, d = generate_camera_rays_ids(
+                r._cam_params, cfg.width, cfg.height, ids, None,
+                cfg.jitter, pix_seed=jseed)
+            pix = ids.astype(jnp.float32)
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1,
                                       jnp.int32)
             total += int(count_frame_rays(

@@ -27,18 +27,19 @@ def timeit(f, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def vpu_peak_vmem(shape=(256, 128), loops=200, n_tiles=512,
+def vpu_peak_vmem(shape=(8, 128), loops=512, n_tiles=4096,
                   mix="fma", interpret=False):
-    """Measured VPU f32 elementwise peak with ALL operands VMEM-resident
-    (a Pallas kernel looping a register-level op chain) — the roofline
-    ceiling for the fused path-trace kernel, whose working set never
-    leaves VMEM.  The plain-XLA elementwise microbench streams HBM and
-    measures bandwidth, not the VPU (61 GB/s ~ 30 Gop/s on this rig);
-    this one measures the compute ceiling itself.
+    """Measured VPU f32 elementwise peak with ALL operands VMEM/register
+    resident (a Pallas kernel looping independent op chains on
+    native-register (8,128) tiles) — the roofline ceiling for the fused
+    path-trace kernel, whose working set never leaves VMEM.  The
+    plain-XLA elementwise microbench streams HBM and measures bandwidth,
+    not the VPU (61 GB/s ~ 30 Gop/s on this rig); this one measures the
+    compute ceiling itself.
 
-    mix="fma": independent multiply-add chains (4-way ILP).
+    mix="fma": 8 independent multiply-add chains (latency-hiding ILP).
     mix="slab": the slab-test op mix (fused multiply-sub + min/max +
-    compare) — the fused kernel's dominant op classes.
+    select) — the fused kernel's dominant op classes.
     Returns (seconds, total_lane_ops)."""
     import jax
     import jax.numpy as jnp
@@ -46,43 +47,46 @@ def vpu_peak_vmem(shape=(256, 128), loops=200, n_tiles=512,
     from jax.experimental.pallas import tpu as pltpu
 
     if mix == "fma":
-        ops_per_iter = 8  # 4 accumulators x (mul+add fused = 1) x 2 rounds
+        ops_per_iter = 16  # 8 chains x (mul+add fused = 1 op) x 2 rounds
 
         def body(i, acc):
-            a, b, c, d = acc
-            a = a * 1.0000001 + 1e-7
-            b = b * 0.9999999 - 1e-7
-            c = c * 1.0000002 + 2e-7
-            d = d * 0.9999998 - 2e-7
-            a = a * 1.0000001 + 1e-7
-            b = b * 0.9999999 - 1e-7
-            c = c * 1.0000002 + 2e-7
-            d = d * 0.9999998 - 2e-7
-            return a, b, c, d
+            out = []
+            for k, a in enumerate(acc):
+                a = a * (1.0 + (k + 1) * 1e-7) + (k + 1) * 1e-7
+                a = a * (1.0 - (k + 1) * 1e-7) - (k + 1) * 1e-7
+                out.append(a)
+            return tuple(out)
     else:
-        ops_per_iter = 12  # 4 chains x (fms, min/max, cmp-select)
+        ops_per_iter = 16  # 8 chains x (fms, then min/max/select round)
 
         def body(i, acc):
-            a, b, c, d = acc
+            a, b, c, d, e, f, g, h = acc
             a = a * 1.0000001 - 1e-7
             b = b * 0.9999999 + 1e-7
-            c = jnp.minimum(c, a)
-            d = jnp.maximum(d, b)
-            a = jnp.maximum(a, c)
-            b = jnp.minimum(b, d)
             c = c * 1.0000002 - 2e-7
             d = d * 0.9999998 + 2e-7
-            a = jnp.where(a > c, a, c)
-            b = jnp.where(b < d, b, d)
-            c = jnp.where(c > 0.0, c, a)
-            d = jnp.where(d < 1.0, d, b)
-            return a, b, c, d
+            e = e * 1.0000003 - 3e-7
+            f = f * 0.9999997 + 3e-7
+            g = g * 1.0000004 - 4e-7
+            h = h * 0.9999996 + 4e-7
+            a = jnp.minimum(a, e)
+            b = jnp.maximum(b, f)
+            c = jnp.minimum(c, g)
+            d = jnp.maximum(d, h)
+            e = jnp.maximum(e, 0.1)
+            f = jnp.minimum(f, 10.0)
+            g = jnp.where(g > c, g, c)
+            h = jnp.where(h < d, h, d)
+            return a, b, c, d, e, f, g, h
 
     def kernel(x_ref, o_ref):
         x = x_ref[:]
-        a, b, c, d = jax.lax.fori_loop(
-            0, loops, body, (x, x * 0.5, x * 0.25, x * 0.125))
-        o_ref[:] = a + b + c + d
+        accs = tuple(x * (0.5 + 0.05 * k) for k in range(8))
+        accs = jax.lax.fori_loop(0, loops, body, accs)
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        o_ref[:] = out
 
     spec = pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
     f = pl.pallas_call(

@@ -43,25 +43,17 @@ def stats_for(scene, cam, cfg, accel="auto", frame=1):
     r.sub_rows = 0
     r.init(film, scene, cam, cfg)
 
-    from parallelraytracing_tpu.engines.megakernel import raygen
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
     base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                               jnp.uint32(frame))
     skey = jax.random.fold_in(base, jnp.uint32(0))
     k_jit, k_path = jax.random.split(skey)
-    o, d = raygen(r._cam_params, k_jit, cfg.width, cfg.height, cfg.jitter)
-    rcount = cfg.pixel_count
-    tile = r.rows * LANES
-    pad = (-rcount) % tile
-    if r._perm is not None:
-        o = jnp.take(o, r._perm, axis=0)
-        d = jnp.take(d, r._perm, axis=0)
-        pix = r._perm.astype(jnp.float32)
-    else:
-        pix = jnp.arange(rcount, dtype=jnp.float32)
-    if pad:
-        o = jnp.pad(o, ((0, pad), (0, 0)))
-        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-        pix = jnp.pad(pix, (0, pad))
+    jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
+                               jnp.int32).astype(jnp.uint32)
+    o, d = generate_camera_rays_ids(r._cam_params, cfg.width, cfg.height,
+                                    r._ids, None, cfg.jitter,
+                                    pix_seed=jseed)
+    pix = r._ids.astype(jnp.float32)
     seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
                                            jnp.int32)], jnp.int32)
     from parallelraytracing_tpu.engines.tables import trace_tables

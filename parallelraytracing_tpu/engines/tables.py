@@ -43,6 +43,9 @@ class PallasSceneTables:
     mats: jax.Array
     lights: jax.Array
     tri_cold: Optional[jax.Array]
+    #: SMEM hot PREFIX for oversize triangle tables (plan_table large
+    #: case — the dragon read-path fix); None otherwise
+    tri_hot: Optional[jax.Array]
     inst: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
     itri_cold: Optional[jax.Array]
 
@@ -61,7 +64,8 @@ class PallasSceneTables:
 jax.tree_util.register_dataclass(
     PallasSceneTables,
     data_fields=["sph", "quad", "tri", "sph_cl", "quad_cl", "tri_cl",
-                 "mats", "lights", "tri_cold", "inst", "itri_cold"],
+                 "mats", "lights", "tri_cold", "tri_hot", "inst",
+                 "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
                  "tail_roots"],
 )
@@ -129,12 +133,14 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
     if itri is not None:
         other += sum(smem_padded_bytes(a.shape)
                      for a in (iacc, ibox, inst))
-    tri_tab, tri_cold, tri_vm, _ = plan_table(
+    tri_tab, tri_cold, tri_vm, _, tri_hot = plan_table(
         tri, 16, other, vmem_threshold)
 
     if itri is not None:
+        if tri_hot is not None:
+            other += smem_padded_bytes(tri_hot.shape)
         other += smem_sz(tri_tab, tri_vm)
-        itri_tab, itri_cold, itri_vm, _ = plan_table(
+        itri_tab, itri_cold, itri_vm, _, _ihot = plan_table(
             itri, 16, other, vmem_threshold)
         inst_dev = tuple(jax.device_put(jnp.asarray(a))
                          for a in (itri_tab, iacc, ibox, inst))
@@ -170,6 +176,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         lights=jax.device_put(jnp.asarray(lights)),
         tri_cold=(None if tri_cold is None
                   else jax.device_put(jnp.asarray(tri_cold))),
+        tri_hot=(None if tri_hot is None
+                 else jax.device_put(jnp.asarray(tri_hot))),
         inst=inst_dev,
         itri_cold=itri_cold_dev,
         vmem_kinds=(kinds[0], kinds[1], tri_vm),
@@ -196,4 +204,5 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         vmem_kinds=t.vmem_kinds, nee=t.nee, inst=t.inst,
         itri_vmem=t.itri_vmem, sub_rows=sub_rows,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
-        itri_cold=t.itri_cold, tail_roots=t.tail_roots)
+        itri_cold=t.itri_cold, tail_roots=t.tail_roots,
+        tri_hot=t.tri_hot)

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from parallelraytracing_tpu.config import RenderConfig
 from parallelraytracing_tpu.engines.base import Renderer, register_engine
 from parallelraytracing_tpu.engines.fused import morton_pixel_perm
-from parallelraytracing_tpu.engines.megakernel import raygen
 from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_segment
 
 
@@ -244,6 +243,7 @@ class WavefrontFusedRenderer(Renderer):
         self._perm = jax.device_put(jnp.asarray(perm))
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
+        from parallelraytracing_tpu.engines.fused import raygen_ids
         cfg = self.config
         base = jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed), jnp.uint32(frame_index))
@@ -251,14 +251,15 @@ class WavefrontFusedRenderer(Renderer):
         for s in range(cfg.samples_per_frame):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
-            o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter)
-            # Morton pixel order for primary-segment coherence; radiance
-            # comes back pixel-indexed (pix ids ride the queue), so no
-            # inverse gather is needed — but pix must carry the ORIGINAL
-            # pixel ids, so permute rays and ids together.
-            o = jnp.take(o, self._perm, axis=0)
-            d = jnp.take(d, self._perm, axis=0)
+            # Morton pixel order for primary-segment coherence, generated
+            # DIRECTLY from the permuted ids (no o/d gathers) with
+            # pixel-keyed jitter — the same streams as fused/sharded, so
+            # the engines stay bit-identical; radiance comes back
+            # pixel-indexed (pix ids ride the queue).
+            jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
+                                       jnp.int32).astype(jnp.uint32)
+            o, d = raygen_ids(self._cam_params, self._perm, jseed,
+                              cfg.width, cfg.height, cfg.jitter)
             pix0 = self._perm.astype(jnp.float32)
             seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
             rad = segmented_trace(

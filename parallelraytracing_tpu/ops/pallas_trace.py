@@ -927,7 +927,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       itri_vmem: bool = False, stack_ref=None,
                       stats_ref=None, tri_cold_get=None,
                       itri_cold_get=None,
-                      tree_starts=(0, 0, 0)):
+                      tree_starts=(0, 0, 0),
+                      tri_hot_get=None, tri_hot_n: int = 0):
+    # Partial SMEM hot prefix (plan_table's large case) requires the
+    # hot/cold split: the SMEM body reads ONLY hot lanes through it.
+    assert tri_hot_get is None or tri_cold_get is not None
     f0 = jnp.zeros(shape, jnp.float32)
 
     # Does any acceleration table use the ordered (10, M) layout?  Static:
@@ -1025,16 +1029,23 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     ty1 = (by1 - soy) * siy
                     tz0 = (bz0 - soz) * siz
                     tz1 = (bz1 - soz) * siz
+                    # Interval-overlap form of the any-lane predicate:
+                    # hit ⟺ min(tf, best_t) >= max(tn, t_min), folding
+                    # the t_min / better-than-best bounds into the
+                    # min/max trees — 3 fewer vector ops than the
+                    # 3-compare + 2-and + cvt form, and bit-identical
+                    # (a - b >= 0 ⟺ a >= b in IEEE; dead lanes carry
+                    # best_t = -BIG, live lanes' best_t >= t_min always,
+                    # so the extra best_t >= t_min conjunct is vacuous).
                     tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                                  jnp.minimum(ty0, ty1)),
-                                     jnp.minimum(tz0, tz1))
+                                     jnp.maximum(jnp.minimum(tz0, tz1),
+                                                 t_min))
                     tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                                  jnp.maximum(ty0, ty1)),
-                                     jnp.maximum(tz0, tz1))
-                    # no explicit active mask: dead lanes carry
-                    # best_t = -BIG and fail tn <= best_t.
-                    hit = (tn <= tf) & (tf >= t_min) & (tn <= best_t)
-                    return jnp.sum(hit.astype(jnp.float32)) > 0.0
+                                     jnp.minimum(jnp.maximum(tz0, tz1),
+                                                 best_t))
+                    return jnp.max(tf - tn) >= 0.0
                 return slab
 
             slab_any_hit = make_slab(ox, oy, oz, inv_dx, inv_dy, inv_dz)
@@ -1050,7 +1061,25 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             else:
                 sgn_w = None
 
-            def stack_walk(tref, body, carry, slab, sgn, start=0):
+            def leaf_runner(body, body2, body2_limit):
+                """Run a contiguous leaf run [lo,hi) through body — or
+                through body2 (the SMEM hot-prefix body) when the whole
+                run lies below the prefix boundary.  Static when body2
+                is absent; one scalar compare per leaf otherwise."""
+                if body2 is None:
+                    return lambda lo, hi, c: jax.lax.fori_loop(
+                        lo, hi, body, c)
+
+                def run(lo, hi, c):
+                    return jax.lax.cond(
+                        hi <= jnp.int32(body2_limit),
+                        lambda cc: jax.lax.fori_loop(lo, hi, body2, cc),
+                        lambda cc: jax.lax.fori_loop(lo, hi, body, cc),
+                        c)
+                return run
+
+            def stack_walk(tref, body, carry, slab, sgn, start=0,
+                           run_leaf=None):
                 """Whole-tile ORDERED walk of the explicit-pointer BVH
                 ((10, M) _cluster_stack_tree layout): a scalar stack in
                 SMEM scratch, descending the NEAR child (by the tile's
@@ -1061,6 +1090,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 above the stack pointer are unconditional (cheaper than
                 predication) and never read back."""
                 sgx, sgy, sgz = sgn
+                runner = run_leaf or leaf_runner(body, None, 0)
                 stack_ref[0] = jnp.int32(0) + start
 
                 def wcond(st):
@@ -1077,7 +1107,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     def do_leaf(c):
                         lo = tref[7, node].astype(jnp.int32)
                         hi = tref[8, node].astype(jnp.int32)
-                        return jax.lax.fori_loop(lo, hi, body, c)
+                        return runner(lo, hi, c)
 
                     if stats_ref is not None:
                         stats_ref[0] = stats_ref[0] + 1
@@ -1105,7 +1135,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                                               (jnp.int32(1), carry))
                 return carry
 
-            def tree_walk(tref, body, carry, slab=None, start=0):
+            def tree_walk(tref, body, carry, slab=None, start=0,
+                          run_leaf=None):
                 """Whole-tile lockstep walk of the threaded cluster-BVH
                 ((8, M) _cluster_tree layout).  The in-kernel analogue of the
                 reference's hardware BVH traversal (optixTrace bounce loop,
@@ -1120,6 +1151,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     return st[0] >= 0
 
                 slab = slab or slab_any_hit
+                runner = run_leaf or leaf_runner(body, None, 0)
 
                 def wbody(st):
                     node, carry = st
@@ -1133,7 +1165,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     def do_leaf(c):
                         lo = enc >> 6
                         hi = lo + (enc & 63)
-                        return jax.lax.fori_loop(lo, hi, body, c)
+                        return runner(lo, hi, c)
 
                     if stats_ref is not None:
                         stats_ref[0] = stats_ref[0] + 1  # nodes visited
@@ -1152,7 +1184,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     (jnp.int32(0) + start, carry))
                 return carry
 
-            def clustered(n, cl_ref, body, carry, csize=CLUSTER, start=0):
+            def clustered(n, cl_ref, body, carry, csize=CLUSTER, start=0,
+                          body2=None, body2_limit=0):
                 """Per-kind hierarchical cull.  Dispatches on the acceleration
                 table's static shape: (8, M) = threaded cluster-BVH lockstep
                 walk (leaf ranges come from the table; `start` selects the
@@ -1161,13 +1194,19 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 scalar-predicated slab test each; tiny kinds skip culling."""
                 n_cl = max(1, -(-n // csize))
                 if cl_ref is None or n <= csize:
-                    return jax.lax.fori_loop(0, n, body, carry)
+                    # tiny kinds: the whole table fits the prefix or not —
+                    # static choice, no dispatch
+                    b = body2 if body2 is not None and n <= body2_limit \
+                        else body
+                    return jax.lax.fori_loop(0, n, b, carry)
 
+                runner = leaf_runner(body, body2, body2_limit)
                 if cl_ref.shape[0] == 10:
                     return stack_walk(cl_ref, body, carry, slab_any_hit,
-                                      sgn_w)
+                                      sgn_w, run_leaf=runner)
                 if cl_ref.shape[0] == 8:
-                    return tree_walk(cl_ref, body, carry, start=start)
+                    return tree_walk(cl_ref, body, carry, start=start,
+                                     run_leaf=runner)
 
                 def cl_body(ci, carry):
                     pred = slab_any_hit(cl_ref, ci, carry[0])
@@ -1175,7 +1214,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     def do(carry):
                         lo = ci * csize
                         hi = jnp.minimum(lo + csize, n)
-                        return jax.lax.fori_loop(lo, hi, body, carry)
+                        return runner(lo, hi, carry)
 
                     if stats_ref is not None:
                         stats_ref[0] = stats_ref[0] + 1
@@ -1266,50 +1305,63 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             wy = oz * dx - ox * dz
             wz = ox * dy - oy * dx
 
-            def tri_body(j, carry):
-                g = tri_get(j)
-                ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
-                e1x, e1y, e1z = g(4), g(5), g(6)
-                e2x, e2y, e2z = g(7), g(8), g(9)
-                xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
-                pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
-                # cold rows (mid, ord, vertex normals): a separate VMEM
-                # table when the hot/cold split is active, else rows
-                # 16-26 of the same ref
-                nc = tri_cold_get(j) if tri_cold_get is not None \
-                    else (lambda k: g(16 + k))
-                mat = mat_of(nc(0))
-                ordv = nc(1)
-                n0x, n0y, n0z = nc(2), nc(3), nc(4)
-                n1x, n1y, n1z = nc(5), nc(6), nc(7)
-                n2x, n2y, n2z = nc(8), nc(9), nc(10)
-                div = -(dx * ngx + dy * ngy + dz * ngz)
-                div_ok = div != 0.0
-                inv = jnp.where(div_ok, 1.0 / jnp.where(div_ok, div, 1.0), 0.0)
-                t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
-                b1 = ((wx * e2x + wy * e2y + wz * e2z)
-                      - (dx * xpx + dy * xpy + dz * xpz)) * inv
-                b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
-                       - (dx * pex + dy * pey + dz * pez)) * inv
-                # no valid test: invalid tris pack a zero geometric
-                # normal, so div == 0 fails div_ok
-                ok = tcap(div_ok & (t >= t_min)
-                          & (b1 >= 0.0) & (b2_ >= 0.0)
-                          & (b1 + b2_ <= 1.0), t)
-                b0 = 1.0 - b1 - b2_
-                inx = b0 * n0x + b1 * n1x + b2_ * n2x
-                iny = b0 * n0y + b1 * n1y + b2_ * n2y
-                inz = b0 * n0z + b1 * n1z + b2_ * n2z
-                back = (dx * inx + dy * iny + dz * inz) > 0.0
-                fr = jnp.where(back, 0.0, 1.0)
-                # Deferred normal: raw interpolated normal (unnormalized,
-                # unflipped — backface flip rides the front flag, shape.h:294-302).
-                flags = fr + 4.0 * mat[0]
-                return fold(carry, t, ok, flags, inx, iny, inz, mat, ordv)
+            def make_tri_body(tget):
+                def tri_body(j, carry):
+                    g = tget(j)
+                    ngx, ngy, ngz, p0ng = g(0), g(1), g(2), g(3)
+                    e1x, e1y, e1z = g(4), g(5), g(6)
+                    e2x, e2y, e2z = g(7), g(8), g(9)
+                    xpx, xpy, xpz = g(10), g(11), g(12)   # e2 x p0
+                    pex, pey, pez = g(13), g(14), g(15)   # p0 x e1
+                    # cold rows (mid, ord, vertex normals): a separate
+                    # VMEM table when the hot/cold split is active, else
+                    # rows 16-26 of the same ref
+                    nc = tri_cold_get(j) if tri_cold_get is not None \
+                        else (lambda k: g(16 + k))
+                    mat = mat_of(nc(0))
+                    ordv = nc(1)
+                    n0x, n0y, n0z = nc(2), nc(3), nc(4)
+                    n1x, n1y, n1z = nc(5), nc(6), nc(7)
+                    n2x, n2y, n2z = nc(8), nc(9), nc(10)
+                    div = -(dx * ngx + dy * ngy + dz * ngz)
+                    div_ok = div != 0.0
+                    inv = jnp.where(div_ok,
+                                    1.0 / jnp.where(div_ok, div, 1.0), 0.0)
+                    t = (ox * ngx + oy * ngy + oz * ngz - p0ng) * inv
+                    b1 = ((wx * e2x + wy * e2y + wz * e2z)
+                          - (dx * xpx + dy * xpy + dz * xpz)) * inv
+                    b2_ = (-(wx * e1x + wy * e1y + wz * e1z)
+                           - (dx * pex + dy * pey + dz * pez)) * inv
+                    # no valid test: invalid tris pack a zero geometric
+                    # normal, so div == 0 fails div_ok
+                    ok = tcap(div_ok & (t >= t_min)
+                              & (b1 >= 0.0) & (b2_ >= 0.0)
+                              & (b1 + b2_ <= 1.0), t)
+                    b0 = 1.0 - b1 - b2_
+                    inx = b0 * n0x + b1 * n1x + b2_ * n2x
+                    iny = b0 * n0y + b1 * n1y + b2_ * n2y
+                    inz = b0 * n0z + b1 * n1z + b2_ * n2z
+                    back = (dx * inx + dy * iny + dz * inz) > 0.0
+                    fr = jnp.where(back, 0.0, 1.0)
+                    # Deferred normal: raw interpolated normal
+                    # (unnormalized, unflipped — backface flip rides the
+                    # front flag, shape.h:294-302).
+                    flags = fr + 4.0 * mat[0]
+                    return fold(carry, t, ok, flags, inx, iny, inz, mat,
+                                ordv)
+                return tri_body
+
+            tri_body = make_tri_body(tri_get)
+            # Partial SMEM hot prefix: a second body reading hot scalars
+            # from SMEM, dispatched per LEAF (leaves are contiguous SAH
+            # runs, so hi <= prefix-width decides the whole run).
+            tri_body_sm = make_tri_body(tri_hot_get) \
+                if tri_hot_get is not None else None
 
             tri_cl = cluster_refs[2] if cluster_refs else None
             carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER,
-                              start=tree_starts[2])
+                              start=tree_starts[2], body2=tri_body_sm,
+                              body2_limit=tri_hot_n)
 
             if inst_refs is not None and n_inst > 0:
                 # ---- instanced meshes (in-kernel TLAS/BLAS, the role of
@@ -1677,7 +1729,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                        sub_rows=0, collect_stats=False,
                        tri_split=False, itri_split=False,
-                       tail_roots=None, tail_depth=TAIL_DEPTH):
+                       tail_roots=None, tail_depth=TAIL_DEPTH,
+                       tri_part=False):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -1707,6 +1760,12 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
         tri_cold_get = None
         if tri_split:
             tri_cold_get = make_reader(rest.pop(0), True)
+        tri_get = make_reader(tri_ref, vmem_kinds[2])
+        tri_hot_get, tri_hot_n = None, 0
+        if tri_part:
+            href = rest.pop(0)
+            tri_hot_get = make_reader(href, False)
+            tri_hot_n = int(href.shape[1])
         itri_cold_get = None
         if n_inst > 0:
             itri_ref, iacc_ref, ibox_ref, inst_ref = rest[:4]
@@ -1725,11 +1784,12 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 make_reader(sph_ref, vmem_kinds[0]),
                 make_reader(quad_ref, vmem_kinds[1]),
-                make_reader(tri_ref, vmem_kinds[2]),
+                tri_get,
                 rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
                 lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
                 stack_ref, stats_scr, tri_cold_get, itri_cold_get,
-                tree_starts=starts)
+                tree_starts=starts, tri_hot_get=tri_hot_get,
+                tri_hot_n=tri_hot_n)
 
         step = mk_step((0, 0, 0))
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
@@ -1831,6 +1891,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sub_rows: int = 0, collect_stats: bool = False,
                  tri_cold=None, itri_cold=None,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
+                 tri_hot=None,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -1865,7 +1926,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 n_inst, itri_vmem, sub_rows, collect_stats,
                                 tri_cold is not None,
                                 itri_cold is not None,
-                                tail_roots, tail_depth)
+                                tail_roots, tail_depth,
+                                tri_part=tri_hot is not None)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1882,6 +1944,10 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     if tri_cold is not None:
         cold_arrays.append(tri_cold)
         cold_specs.append(vmem_full)
+    if tri_hot is not None:
+        # partial SMEM hot prefix for oversize (vmem-rows) tables
+        cold_arrays.append(tri_hot)
+        cold_specs.append(smem)
     inst_arrays = []
     inst_specs = []
     if inst is not None:
@@ -2126,20 +2192,35 @@ def plan_table(tab: np.ndarray, hot_rows: int, other_smem_bytes: int,
     """Placement plan for a primitive table whose first `hot_rows` rows
     are read per TEST and whose remainder is read only at fold time.
 
-    Returns (main, cold, vmem_flag, split_flag):
-    - small tables: whole table in SMEM (cold = None);
+    Returns (main, cold, vmem_flag, split_flag, hot_part):
+    - small tables: whole table in SMEM (cold = hot_part = None);
     - mid-size: HOT rows as an SMEM table + cold rows as VMEM rows — per
       tested primitive the kernel does hot_rows scalar loads (overlapped
       on the scalar core) instead of a dynamic row load + C lane
       extracts, which measured as the dominant mesh leaf cost
       (benchmarks/RESULTS.md);
-    - large: everything as VMEM rows (SMEM budget exceeded)."""
+    - large (dragon-scale, the round-2 hot/cold cliff): hot rows as
+      VMEM rows + cold rows as VMEM rows (the mid-size split with the
+      hot side spilled) PLUS hot_part — the hot rows of the largest
+      SMEM-fitting column PREFIX.  The kernel dispatches PER LEAF (SAH
+      leaves are contiguous primitive runs): leaves entirely below the
+      prefix boundary read their hot scalars from SMEM exactly like the
+      mid-size case; only boundary/suffix leaves pay the VMEM hot row
+      load.  The SAH permutation makes the prefix an
+      arbitrary-but-large fraction of all tests."""
     n = tab.shape[1]
     if n <= vmem_threshold:
-        return np.ascontiguousarray(tab), None, False, False
+        return np.ascontiguousarray(tab), None, False, False, None
     hot_bytes = smem_padded_bytes((hot_rows, n))
     if hot_bytes + other_smem_bytes + SMEM_HEADROOM <= SMEM_BYTES:
         hot = np.ascontiguousarray(tab[:hot_rows])
         cold = to_vmem_rows(tab[hot_rows:])
-        return hot, cold, False, True
-    return to_vmem_rows(tab), None, True, False
+        return hot, cold, False, True, None
+    avail = SMEM_BYTES - SMEM_HEADROOM - other_smem_bytes
+    pad_rows = (hot_rows + 7) // 8 * 8
+    n_smem = max(0, avail // (pad_rows * 4)) // 128 * 128
+    if n_smem >= 1024:  # below this the leaf dispatch isn't worth it
+        hot_part = np.ascontiguousarray(tab[:hot_rows, :n_smem])
+        return (to_vmem_rows(tab[:hot_rows]),
+                to_vmem_rows(tab[hot_rows:]), True, True, hot_part)
+    return to_vmem_rows(tab), None, True, False, None

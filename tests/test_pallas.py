@@ -243,13 +243,13 @@ def test_collect_stats_counters():
     base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), jnp.uint32(0))
     skey = jax.random.fold_in(base, jnp.uint32(0))
     k_jit, k_path = jax.random.split(skey)
-    o, d = raygen(r._cam_params, k_jit, cfg.width, cfg.height, cfg.jitter)
-    rc = cfg.pixel_count
-    pad = (-rc) % (r.rows * LANES)
-    o = jnp.pad(o, ((0, pad), (0, 0)))
-    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    pix = jnp.pad(r._perm.astype(jnp.float32), (0, pad)) if r._perm is not None \
-        else jnp.pad(jnp.arange(rc, dtype=jnp.float32), (0, pad))
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+    jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
+                               jnp.int32).astype(jnp.uint32)
+    o, d = generate_camera_rays_ids(r._cam_params, cfg.width, cfg.height,
+                                    r._ids, None, cfg.jitter,
+                                    pix_seed=jseed)
+    pix = r._ids.astype(jnp.float32)
     seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
                                            jnp.int32)], jnp.int32)
     t = r._tables
@@ -282,19 +282,35 @@ def test_plan_table_placement():
 
     tab = np.arange(27 * 300, dtype=np.float32).reshape(27, 300)
     # small: everything SMEM
-    main, cold, vm, split = plan_table(tab, 16, 0, 2048)
-    assert cold is None and not vm and not split
+    main, cold, vm, split, hot = plan_table(tab, 16, 0, 2048)
+    assert cold is None and not vm and not split and hot is None
     assert np.array_equal(main, tab)
     # mid: hot/cold split — hot rows in SMEM, cold as VMEM rows
-    main, cold, vm, split = plan_table(tab, 16, 0, 64)
-    assert split and not vm
+    main, cold, vm, split, hot = plan_table(tab, 16, 0, 64)
+    assert split and not vm and hot is None
     assert main.shape == (16, 300) and np.array_equal(main, tab[:16])
     assert cold.shape == (300, LANES)
     assert np.array_equal(cold[:, :11], tab[16:].T)
     # large: the hot half alone busts the budget -> all-VMEM rows
-    main, cold, vm, split = plan_table(tab, 16, SMEM_BYTES, 64)
-    assert vm and not split and cold is None
+    main, cold, vm, split, hot = plan_table(tab, 16, SMEM_BYTES, 64)
+    assert vm and not split and cold is None and hot is None
     assert main.shape == (300, LANES)
+    # large with headroom: hot/cold VMEM rows + the largest SMEM hot
+    # PREFIX (leaf-dispatched in-kernel)
+    big = np.arange(27 * 40000, dtype=np.float32).reshape(27, 40000) \
+        .astype(np.float32)
+    main, cold, vm, split, hot = plan_table(big, 16, 0, 64)
+    assert vm and split
+    assert main.shape == (40000, LANES)
+    assert np.array_equal(main[:, :16], big[:16].T)
+    assert cold.shape == (40000, LANES)
+    assert np.array_equal(cold[:, :11], big[16:].T)
+    assert hot is not None and hot.shape[0] == 16
+    assert hot.shape[1] % 128 == 0 and hot.shape[1] >= 1024
+    assert np.array_equal(hot, big[:16, :hot.shape[1]])
+    from parallelraytracing_tpu.ops.pallas_trace import (SMEM_HEADROOM,
+                                                         smem_padded_bytes)
+    assert smem_padded_bytes(hot.shape) + SMEM_HEADROOM <= SMEM_BYTES
 
 
 def test_sah_tree_structure():
@@ -404,3 +420,53 @@ def test_tail_view_bit_identical_and_well_formed():
         if tail:
             assert troots[0] > 0  # sphere tree really has a fine view
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_partial_hot_prefix_bit_identical(monkeypatch):
+    """plan_table's large case (dragon-scale meshes): the triangle table
+    goes to VMEM rows PLUS an SMEM hot PREFIX read through
+    make_partial_reader.  Same values, different port: the image must be
+    bit-identical to the pure VMEM-rows table."""
+    import dataclasses
+
+    import parallelraytracing_tpu.ops.pallas_trace as pt
+    from parallelraytracing_tpu.core.mesh import Mesh
+    from parallelraytracing_tpu.engines.tables import (build_scene_tables,
+                                                       trace_tables)
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+
+    # ~1.5k-triangle soup in front of the camera
+    rng = np.random.default_rng(7)
+    n_tri = 1500
+    p0 = rng.uniform(-4, 4, (n_tri, 3)).astype(np.float32)
+    e = rng.uniform(0.05, 0.5, (n_tri, 2, 3)).astype(np.float32)
+    verts = np.concatenate([p0, p0 + e[:, 0], p0 + e[:, 1]], axis=0)
+    k = np.arange(n_tri, dtype=np.uint32)
+    mesh = Mesh(vertices=verts,
+                indices=np.stack([k, k + n_tri, k + 2 * n_tri], 1).ravel())
+    mesh.compute_vertex_normals()
+    s = Scene(preset=None)
+    m = s.add_lambertian((0.7, 0.6, 0.5))
+    s.add_mesh(mesh, m, ((1, 1, 1), (0, 0, 0), (0, 0, 0)))
+
+    cfg = small_cfg(max_depth=4, jitter=False)
+    # shrink the budget so the (16, ~1536) hot table can't fit whole but
+    # a >=1024-column prefix can
+    monkeypatch.setattr(pt, "SMEM_BYTES", 240 * 1024)
+    t_hot, _ = build_scene_tables(s, cfg, vmem_threshold=64)
+    assert t_hot.vmem_kinds[2] and t_hot.tri_hot is not None
+    assert t_hot.tri_hot.shape[0] == 16
+    assert 1024 <= t_hot.tri_hot.shape[1] < t_hot.tri.shape[0]
+    t_plain = dataclasses.replace(t_hot, tri_hot=None)
+
+    cam = jnp.asarray(default_camera(cfg.width, cfg.height).ray_params())
+    ids = jnp.arange(cfg.pixel_count, dtype=jnp.int32)
+    o, d = generate_camera_rays_ids(cam, cfg.width, cfg.height, ids,
+                                    None, False)
+    pix = ids.astype(jnp.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+    a = np.asarray(trace_tables(t_hot, o, d, pix, seed, 8, cfg, True))
+    b = np.asarray(trace_tables(t_plain, o, d, pix, seed, 8, cfg, True))
+    assert np.isfinite(a).all()
+    assert a.sum() > 0
+    np.testing.assert_array_equal(a, b)
