@@ -67,6 +67,10 @@ import os as _os
 # the SAH tree, worse with the Karras one).
 CLUSTER = int(_os.environ.get("PRT_CLUSTER", "24"))
 TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "4"))
+#: SBVH spatial-split trigger: child-overlap area > alpha x root area
+#: lets a duplicate-and-clip spatial split compete with the object
+#: split in the SAH tree build (0 = plain SAH, no duplication).
+SBVH_ALPHA = float(_os.environ.get("PRT_SBVH_ALPHA", "0"))
 
 # Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
 # table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
@@ -176,9 +180,26 @@ STACK_CAP = 128
 
 
 def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
-                       tail_csize: int = 0):
+                       tail_csize: int = 0, sbvh_alpha: float = 0.0,
+                       clip_verts=None, sbvh_max_factor: float = 1.4):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
+
+    With sbvh_alpha > 0 the build adds SPATIAL splits (SBVH, Stich et
+    al. 2009): when the best object split's child overlap exceeds
+    alpha x root area, a chopped-binning spatial split competes, and
+    straddling primitives are DUPLICATED into both children with their
+    bounds clipped to the split plane (exact triangle-polygon clip when
+    clip_verts = (v0, v1, v2) row arrays are given; conservative box
+    clip otherwise).  `perm` is then a REFERENCE list — original column
+    ids with duplicates, total capped at sbvh_max_factor x n — and the
+    caller packs the primitive table as tab[:, perm].  Closest-hit
+    results are BIT-IDENTICAL to the single-reference tree: a
+    duplicated primitive carries the same t and the same global
+    ordinal, so the winner fold is unchanged; only the number of tested
+    candidates shrinks (long thin diagonal primitives stop inflating
+    every leaf box they merely graze — the overlap pathology the
+    reference offloads to OptiX's splitting builder).
 
     With tail_csize > 0 (straggler-tail traversal, see TAIL_CLUSTER):
     the tree is BUILT at tail_csize granularity, then TWO threaded views
@@ -219,7 +240,6 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
             return np.arange(n), out, 0
         return np.arange(n), out
 
-    cen = (mn + mx) * 0.5
     NB = 16
 
     def area(lo, hi):
@@ -233,35 +253,142 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
 
     sys.setrecursionlimit(max(10000, sys.getrecursionlimit()))
 
-    def build(ids, depth=0):
-        bmn = mn[ids].min(0)
-        bmx = mx[ids].max(0)
+    # --- SBVH machinery (active when sbvh_alpha > 0) -------------------
+    root_area = area(mn[ids_v].min(0), mx[ids_v].max(0))
+    ref_budget = [int(sbvh_max_factor * len(ids_v)) - len(ids_v)]
+
+    def clip_ref(i, rmn_i, rmx_i, ax, plo, phi):
+        """Bounds of primitive i restricted to the slab [plo, phi] on
+        axis ax, intersected with the ref's current box.  Exact polygon
+        clip for triangles when vertices are available; conservative
+        box clip otherwise."""
+        if clip_verts is not None:
+            pts = np.array([clip_verts[0][i], clip_verts[1][i],
+                            clip_verts[2][i]], np.float64)
+            # Sutherland-Hodgman against the two axis planes.
+            for pos, keep_ge in ((plo, True), (phi, False)):
+                out = []
+                for a_i in range(len(pts)):
+                    a = pts[a_i]
+                    b = pts[(a_i + 1) % len(pts)]
+                    da = (a[ax] - pos) if keep_ge else (pos - a[ax])
+                    db = (b[ax] - pos) if keep_ge else (pos - b[ax])
+                    if da >= 0:
+                        out.append(a)
+                    if (da > 0) != (db > 0) and da != db:
+                        t = da / (da - db)
+                        out.append(a + t * (b - a))
+                if not out:
+                    return None
+                pts = np.asarray(out)
+            cmn, cmx = pts.min(0), pts.max(0)
+            # the polygon clip is exact; still intersect with the ref's
+            # carried box (itself possibly clipped by ancestors)
+            cmn = np.maximum(cmn, rmn_i)
+            cmx = np.minimum(cmx, rmx_i)
+            if (cmn > cmx).any():
+                return None
+            return cmn, cmx
+        cmn, cmx = rmn_i.copy(), rmx_i.copy()
+        cmn[ax] = max(cmn[ax], plo)
+        cmx[ax] = min(cmx[ax], phi)
+        if cmn[ax] > cmx[ax]:
+            return None
+        return cmn, cmx
+
+    def spatial_split(ids, rmn, rmx, bmn, bmx):
+        """Best chopped-binning spatial split for this node: returns
+        (cost, ax, plane, b0, b1) or None.  b0/b1 = first/last bin each
+        ref spans (entry/exit bins)."""
+        best = None
+        for ax in range(3):
+            lo, hi = bmn[ax], bmx[ax]
+            ext = hi - lo
+            if ext <= 1e-12:
+                continue
+            scale = NB / ext
+            b0 = np.clip(((rmn[:, ax] - lo) * scale).astype(np.int64),
+                         0, NB - 1)
+            b1 = np.clip((np.ceil((rmx[:, ax] - lo) * scale)
+                          .astype(np.int64)) - 1, 0, NB - 1)
+            b1 = np.maximum(b1, b0)
+            # per-bin chopped bounds (box chop for COST EVAL only; the
+            # actual duplication below uses the exact clip)
+            bin_mn = np.full((NB, 3), np.inf)
+            bin_mx = np.full((NB, 3), -np.inf)
+            for k in range(NB):
+                span = (b0 <= k) & (b1 >= k)
+                if not span.any():
+                    continue
+                plo = lo + k * ext / NB
+                phi = lo + (k + 1) * ext / NB
+                cmn = rmn[span].copy()
+                cmx = rmx[span].copy()
+                cmn[:, ax] = np.maximum(cmn[:, ax], plo)
+                cmx[:, ax] = np.minimum(cmx[:, ax], phi)
+                bin_mn[k] = cmn.min(0)
+                bin_mx[k] = cmx.max(0)
+            entries = np.bincount(b0, minlength=NB)
+            exits = np.bincount(b1, minlength=NB)
+            pre_a = np.zeros(NB)
+            suf_a = np.zeros(NB)
+            cmn = np.full(3, np.inf)
+            cmx = np.full(3, -np.inf)
+            for k in range(NB):
+                cmn = np.minimum(cmn, bin_mn[k])
+                cmx = np.maximum(cmx, bin_mx[k])
+                pre_a[k] = area(cmn, cmx) if np.isfinite(cmn).all() else 0.0
+            cmn = np.full(3, np.inf)
+            cmx = np.full(3, -np.inf)
+            for k in range(NB - 1, -1, -1):
+                cmn = np.minimum(cmn, bin_mn[k])
+                cmx = np.maximum(cmx, bin_mx[k])
+                suf_a[k] = area(cmn, cmx) if np.isfinite(cmn).all() else 0.0
+            pre_e = np.cumsum(entries)
+            suf_x = np.cumsum(exits[::-1])[::-1]
+            for k in range(NB - 1):
+                nl = pre_e[k]
+                nr = suf_x[k + 1]
+                if nl == 0 or nr == 0:
+                    continue
+                dup = nl + nr - len(ids)
+                if dup > ref_budget[0]:
+                    continue
+                cost = pre_a[k] * nl + suf_a[k + 1] * nr
+                if best is None or cost < best[0]:
+                    best = (cost, ax, lo + (k + 1) * ext / NB, b0, b1)
+        return best
+
+    def build(ids, rmn, rmx, depth=0):
+        bmn = rmn.min(0)
+        bmx = rmx.max(0)
+        rcen = (rmn + rmx) * 0.5
         if len(ids) <= leaf_size:
             lo = len(perm_out)
             perm_out.extend(ids.tolist())
             recs.append([bmn, bmx, 1, lo, len(perm_out)])
             return len(recs) - 1
-        cmin = cen[ids].min(0)
-        cmax = cen[ids].max(0)
+        cmin = rcen.min(0)
+        cmax = rcen.max(0)
         ext = cmax - cmin
         best = None  # (cost, axis, bins, split)
         # SAH can split pathologically unbalanced (1 vs n-1 per level);
         # beyond depth 60 force median splits so host recursion and the
         # ordered walk's STACK_CAP stay bounded (~60 + log2 n).
         if depth > 60:
-            order = np.argsort(cen[ids, int(np.argmax(ext))], kind="stable")
+            order = np.argsort(rcen[:, int(np.argmax(ext))], kind="stable")
             half = len(ids) // 2
-            l_ids, r_ids = ids[order[:half]], ids[order[half:]]
+            ol, orr = order[:half], order[half:]
             rec = [bmn, bmx, 0, -1, -1]
             recs.append(rec)
             me = len(recs) - 1
-            rec[3] = build(l_ids, depth + 1)
-            rec[4] = build(r_ids, depth + 1)
+            rec[3] = build(ids[ol], rmn[ol], rmx[ol], depth + 1)
+            rec[4] = build(ids[orr], rmn[orr], rmx[orr], depth + 1)
             return me
         for ax in range(3):
             if ext[ax] <= 1e-12:
                 continue
-            b = np.minimum(((cen[ids, ax] - cmin[ax]) / ext[ax]
+            b = np.minimum(((rcen[:, ax] - cmin[ax]) / ext[ax]
                             * NB).astype(np.int64), NB - 1)
             counts = np.bincount(b, minlength=NB)
             # per-bin bounds
@@ -270,8 +397,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
             for k in range(NB):
                 sel = b == k
                 if counts[k]:
-                    bin_mn[k] = mn[ids[sel]].min(0)
-                    bin_mx[k] = mx[ids[sel]].max(0)
+                    bin_mn[k] = rmn[sel].min(0)
+                    bin_mx[k] = rmx[sel].max(0)
             # prefix/suffix sweeps
             pre_a = np.zeros(NB)
             suf_a = np.zeros(NB)
@@ -288,6 +415,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                 cmx = np.maximum(cmx, bin_mx[k])
                 suf_a[k] = area(cmn, cmx) if np.isfinite(cmn).all() else 0.0
             pre_n = np.cumsum(counts)
+            # child-overlap area of the best plane on this axis (the
+            # SBVH trigger, computed during the sweep below)
             for k in range(NB - 1):
                 nl = pre_n[k]
                 nr = len(ids) - nl
@@ -295,25 +424,93 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                     continue
                 cost = pre_a[k] * nl + suf_a[k + 1] * nr
                 if best is None or cost < best[0]:
-                    best = (cost, ax, b, k)
+                    best = (cost, ax, b, k, bin_mn, bin_mx)
+        # SBVH: when the object split's children overlap more than
+        # alpha x root area, let a spatial split compete.
+        if best is not None and sbvh_alpha > 0.0 and ref_budget[0] > 0:
+            _, ax, b, k, bin_mn, bin_mx = best
+            lmx = bin_mx[:k + 1].max(0)
+            rmn_b = bin_mn[k + 1:].min(0)
+            ov_mn = np.maximum(bin_mn[:k + 1].min(0), rmn_b)
+            ov_mx = np.minimum(lmx, bin_mx[k + 1:].max(0))
+            if ((ov_mn <= ov_mx).all()
+                    and area(ov_mn, ov_mx) > sbvh_alpha * root_area):
+                sb = spatial_split(ids, rmn, rmx, bmn, bmx)
+                if sb is not None and sb[0] < best[0]:
+                    _, sax, plane, b0, b1 = sb
+                    # partition: fully-left, fully-right, straddling
+                    left_f = np.nonzero(
+                        rmx[:, sax] <= plane)[0]
+                    right_f = np.nonzero(
+                        rmn[:, sax] >= plane)[0]
+                    strad = np.nonzero((rmx[:, sax] > plane)
+                                       & (rmn[:, sax] < plane))[0]
+                    li = [ids[left_f]]
+                    lmn = [rmn[left_f]]
+                    lmxl = [rmx[left_f]]
+                    ri = [ids[right_f]]
+                    rmn2 = [rmn[right_f]]
+                    rmx2 = [rmx[right_f]]
+                    for s in strad:
+                        cl_ = clip_ref(ids[s], rmn[s], rmx[s], sax,
+                                       -np.inf, plane)
+                        cr_ = clip_ref(ids[s], rmn[s], rmx[s], sax,
+                                       plane, np.inf)
+                        if cl_ is not None and cr_ is not None:
+                            li.append(ids[s:s + 1])
+                            lmn.append(cl_[0][None])
+                            lmxl.append(cl_[1][None])
+                            ri.append(ids[s:s + 1])
+                            rmn2.append(cr_[0][None])
+                            rmx2.append(cr_[1][None])
+                        elif cl_ is not None:
+                            li.append(ids[s:s + 1])
+                            lmn.append(cl_[0][None])
+                            lmxl.append(cl_[1][None])
+                        else:
+                            cr_ = cr_ or (rmn[s], rmx[s])
+                            ri.append(ids[s:s + 1])
+                            rmn2.append(cr_[0][None])
+                            rmx2.append(cr_[1][None])
+                    l_ids = np.concatenate(li)
+                    l_rmn = np.concatenate(lmn)
+                    l_rmx = np.concatenate(lmxl)
+                    r_ids = np.concatenate(ri)
+                    r_rmn = np.concatenate(rmn2)
+                    r_rmx = np.concatenate(rmx2)
+                    if len(l_ids) and len(r_ids):
+                        ref_budget[0] -= (len(l_ids) + len(r_ids)
+                                          - len(ids))
+                        rec = [bmn, bmx, 0, -1, -1]
+                        recs.append(rec)
+                        me = len(recs) - 1
+                        rec[3] = build(l_ids, l_rmn, l_rmx, depth + 1)
+                        rec[4] = build(r_ids, r_rmn, r_rmx, depth + 1)
+                        return me
         if best is None:
             half = len(ids) // 2
-            l_ids, r_ids = ids[:half], ids[half:]
+            sel = np.zeros(len(ids), bool)
+            sel[:half] = True
         else:
-            _, ax, b, k = best
+            _, ax, b, k = best[:4]
             sel = b <= k
-            l_ids, r_ids = ids[sel], ids[~sel]
         rec = [bmn, bmx, 0, -1, -1]
         recs.append(rec)
         me = len(recs) - 1
-        rec[3] = build(l_ids, depth + 1)
-        rec[4] = build(r_ids, depth + 1)
+        rec[3] = build(ids[sel], rmn[sel], rmx[sel], depth + 1)
+        rec[4] = build(ids[~sel], rmn[~sel], rmx[~sel], depth + 1)
         return me
 
-    root = build(ids_v)
+    root = build(ids_v, mn[ids_v].astype(np.float64),
+                 mx[ids_v].astype(np.float64))
     perm = np.concatenate([np.asarray(perm_out, np.int64),
                            ids_i]).astype(np.int64)
-    assert len(perm) == n and len(set(perm.tolist())) == n
+    if sbvh_alpha > 0.0:
+        # refs may duplicate; every valid primitive must appear >= once
+        assert set(perm.tolist()) == set(range(n))
+        n = len(perm)  # downstream sizes follow the ref count
+    else:
+        assert len(perm) == n and len(set(perm.tolist())) == n
 
     # Per-record primitive counts and (contiguous) perm ranges — children
     # records have higher ids than their parent, so one reverse sweep.
@@ -605,7 +802,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
 
     def accelerate(tab, cl, mn2, mx2, n, csize=None, pad_col=None,
-                   tail_csize=0):
+                   tail_csize=0, clip_verts=None):
         """Per-kind acceleration-table choice (see docstring).  Returns
         (tab, acc_table, tail_root) — tail_root is the fine view's root
         column for the straggler-tail walk (-1 when absent)."""
@@ -620,7 +817,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
                 perm, tree, troot = _sah_threaded_tree(mn2, mx2, csize,
                                                        tail_csize)
                 return np.ascontiguousarray(tab[:, perm]), tree, troot
-            perm, tree = _sah_threaded_tree(mn2, mx2, csize)
+            perm, tree = _sah_threaded_tree(
+                mn2, mx2, csize, sbvh_alpha=SBVH_ALPHA,
+                clip_verts=clip_verts)
             return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
@@ -733,7 +932,9 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri, tri_cl, tri_troot = accelerate(
         tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
-        t_mn2, t_mx2, len(tvd), TRI_CLUSTER)
+        t_mn2, t_mx2, len(tvd), TRI_CLUSTER,
+        clip_verts=(v0.astype(np.float64), v1.astype(np.float64),
+                    v2.astype(np.float64)))
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
