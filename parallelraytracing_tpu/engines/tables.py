@@ -72,7 +72,8 @@ jax.tree_util.register_dataclass(
 
 
 def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
-                       vmem_threshold: int = 2048, eye=None):
+                       vmem_threshold: int = 2048, eye=None,
+                       allow_partial: bool = True):
     """Pack a Scene for the Pallas kernels.
 
     Returns (PallasSceneTables, scene_data): scene_data is the SceneData
@@ -83,7 +84,13 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
 
     eye: optional camera position enabling nearest-first cluster order
     for linear-scan kinds (front-to-back culling; camera-dependent, so
-    callers repack on camera move)."""
+    callers repack on camera move).
+
+    allow_partial: pass False for engines that trace through
+    pallas_segment (wavefront_fused) — the oversize-table hot/cold VMEM
+    split + SMEM prefix only pays inside the fused bounce kernel, and
+    the segment kernel's 14 ray planes push the two-table layout over
+    the 16 MiB scoped-VMEM limit at dragon scale (plan_table doc)."""
     from parallelraytracing_tpu.accel.lbvh import scene_primitive_aabbs
     from parallelraytracing_tpu.ops.nee import extract_lights
     from parallelraytracing_tpu.ops.pallas_trace import (
@@ -134,14 +141,14 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         other += sum(smem_padded_bytes(a.shape)
                      for a in (iacc, ibox, inst))
     tri_tab, tri_cold, tri_vm, _, tri_hot = plan_table(
-        tri, 16, other, vmem_threshold)
+        tri, 16, other, vmem_threshold, allow_partial=allow_partial)
 
     if itri is not None:
         if tri_hot is not None:
             other += smem_padded_bytes(tri_hot.shape)
         other += smem_sz(tri_tab, tri_vm)
         itri_tab, itri_cold, itri_vm, _, _ihot = plan_table(
-            itri, 16, other, vmem_threshold)
+            itri, 16, other, vmem_threshold, allow_partial=allow_partial)
         inst_dev = tuple(jax.device_put(jnp.asarray(a))
                          for a in (itri_tab, iacc, ibox, inst))
         itri_cold_dev = (None if itri_cold is None

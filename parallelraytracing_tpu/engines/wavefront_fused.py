@@ -236,7 +236,7 @@ class WavefrontFusedRenderer(Renderer):
         from parallelraytracing_tpu.engines.tables import build_scene_tables
         self._tables, self._scene_data = build_scene_tables(
             self._scene, self.config, accel=self.accel,
-            vmem_threshold=self.vmem_threshold)
+            vmem_threshold=self.vmem_threshold, allow_partial=False)
         self._interpret = not _on_tpu()
         cfg = self.config
         perm, inv = morton_pixel_perm(cfg.width, cfg.height)

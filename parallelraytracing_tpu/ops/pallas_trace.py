@@ -2389,9 +2389,16 @@ def smem_padded_bytes(shape) -> int:
 
 
 def plan_table(tab: np.ndarray, hot_rows: int, other_smem_bytes: int,
-               vmem_threshold: int):
+               vmem_threshold: int, allow_partial: bool = True):
     """Placement plan for a primitive table whose first `hot_rows` rows
     are read per TEST and whose remainder is read only at fold time.
+
+    allow_partial=False disables the large-case hot/cold VMEM split +
+    SMEM prefix (below) and keeps the single merged VMEM-rows table:
+    the wavefront segment kernel carries 14 full ray planes and the
+    two-table split pushes its scoped-VMEM stack over the 16 MiB
+    compiler limit (measured OOM at 19.84M on the dragon), while the
+    prefix dispatch only exists in the fused bounce kernel anyway.
 
     Returns (main, cold, vmem_flag, split_flag, hot_part):
     - small tables: whole table in SMEM (cold = hot_part = None);
@@ -2420,7 +2427,8 @@ def plan_table(tab: np.ndarray, hot_rows: int, other_smem_bytes: int,
     avail = SMEM_BYTES - SMEM_HEADROOM - other_smem_bytes
     pad_rows = (hot_rows + 7) // 8 * 8
     n_smem = max(0, avail // (pad_rows * 4)) // 128 * 128
-    if n_smem >= 1024:  # below this the leaf dispatch isn't worth it
+    if allow_partial and n_smem >= 1024:
+        # below 1024 columns the leaf dispatch isn't worth it
         hot_part = np.ascontiguousarray(tab[:hot_rows, :n_smem])
         return (to_vmem_rows(tab[:hot_rows]),
                 to_vmem_rows(tab[hot_rows:]), True, True, hot_part)

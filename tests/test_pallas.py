@@ -311,6 +311,14 @@ def test_plan_table_placement():
     from parallelraytracing_tpu.ops.pallas_trace import (SMEM_HEADROOM,
                                                          smem_padded_bytes)
     assert smem_padded_bytes(hot.shape) + SMEM_HEADROOM <= SMEM_BYTES
+    # allow_partial=False (pallas_segment engines): oversize tables keep
+    # the single merged VMEM-rows layout — the two-table split pushes the
+    # segment kernel over the 16 MiB scoped-VMEM limit at dragon scale.
+    main, cold, vm, split, hot = plan_table(big, 16, 0, 64,
+                                            allow_partial=False)
+    assert vm and not split and cold is None and hot is None
+    assert main.shape == (40000, LANES)
+    assert np.array_equal(main[:, :27], big.T)
 
 
 def test_sah_tree_structure():
