@@ -99,14 +99,15 @@ def main() -> None:
 
     if which in ("both", "bunny"):
         from benchmarks.ab_session import mesh_scene
+        name = os.environ.get("AB_MESH", "bunny")
         cfg = RenderConfig(width=1920, height=1080, max_depth=20, seed=0)
-        scene = mesh_scene("bunny")
+        scene = mesh_scene(name)
         eye = np.array([0.0, 14.0, 28.0])
         look = np.array([0.0, 7.0, 0.0])
         cam = Camera(eye, look - eye, 1920.0, 1080.0, 100.0)
         for accel in os.environ.get("AB_ACCELS_MESH", "tree").split(","):
             _, st = stats_for(scene, cam, cfg, accel=accel)
-            report(f"bunny_{accel}", st, cfg)
+            report(f"{name}_{accel}", st, cfg)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,14 @@ TRI_CLUSTER = int(_os.environ.get("PRT_CLUSTER_TRI", "4"))
 #: lets a duplicate-and-clip spatial split compete with the object
 #: split in the SAH tree build (0 = plain SAH, no duplication).
 SBVH_ALPHA = float(_os.environ.get("PRT_SBVH_ALPHA", "0"))
+#: Nearly-always-hit node splice: an internal SAH node whose surface
+#: area is >= tau x its parent's is removed from the threaded table
+#: (its children link directly to the parent).  For the whole-tile
+#: any-lane-hit walk such nodes pass their slab test almost every
+#: entry, so the test is pure overhead; the preorder escape links
+#: encode arbitrary arity, so this is a host-side table rewrite with
+#: BIT-IDENTICAL traversal results (leaf runs unchanged).  0 disables.
+COLLAPSE_TAU = float(_os.environ.get("PRT_COLLAPSE_TAU", "0"))
 
 # Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
 # table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
@@ -181,9 +189,22 @@ STACK_CAP = 128
 
 def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                        tail_csize: int = 0, sbvh_alpha: float = 0.0,
-                       clip_verts=None, sbvh_max_factor: float = 1.4):
+                       clip_verts=None, sbvh_max_factor: float = 1.4,
+                       collapse_tau: float = 0.0):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
+
+    With collapse_tau > 0 internal nodes whose surface area is
+    >= collapse_tau x their parent's are SPLICED OUT of the emitted
+    table: their children attach directly to the parent (the threaded
+    preorder + escape-link encoding is arity-agnostic, so the kernel
+    walk is unchanged).  Rationale: the whole-tile ANY-LANE-HIT slab
+    test enters a child box with probability ~1 when its area barely
+    shrinks the parent's — for divergent tiles that test is pure
+    overhead (dragon diagnostics: 8.3k slab tests vs 3.6k primitive
+    tests per tile).  Leaf runs and the primitive permutation are
+    untouched, so traversal results stay bit-identical; only the
+    visit/test schedule changes.
 
     With sbvh_alpha > 0 the build adds SPATIAL splits (SBVH, Stich et
     al. 2009): when the best object split's child overlap exceeds
@@ -529,18 +550,41 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
             rhi[ri] = max(rhi[a], rhi[b])
 
     def emit(collapse, base):
-        """Threaded preorder with escape links (a left child escapes to
-        its right sibling's slot = parent_slot + 1 + size(left subtree)).
-        A record emits as a LEAF when it is one, or when its subtree
-        holds <= collapse primitives (the coarse view); escape links are
-        offset by `base` (the view's first column)."""
+        """Threaded preorder with escape links (child i escapes to its
+        next sibling's slot; the last child escapes to the parent's
+        escape).  A record emits as a LEAF when it is one, or when its
+        subtree holds <= collapse primitives (the coarse view); escape
+        links are offset by `base` (the view's first column).
+
+        With collapse_tau > 0, internal children whose area is
+        >= collapse_tau x the parent's are spliced out (their children
+        become the parent's — arbitrary arity, same link encoding)."""
         def is_leaf_rec(ri):
             return recs[ri][2] == 1 or (collapse and cnt[ri] <= collapse)
+
+        rarea = np.array([area(np.asarray(r[0]), np.asarray(r[1]))
+                          for r in recs])
+        kids_memo = {}
+
+        def kids_of(ri):
+            """Spliced child list of an internal record (recursion depth
+            bounded by the build's depth-60 median-split cap)."""
+            ks = kids_memo.get(ri)
+            if ks is None:
+                ks = []
+                for c in (recs[ri][3], recs[ri][4]):
+                    if (collapse_tau > 0.0 and not is_leaf_rec(c)
+                            and rarea[c] >= collapse_tau * rarea[ri]):
+                        ks.extend(kids_of(c))
+                    else:
+                        ks.append(c)
+                kids_memo[ri] = ks
+            return ks
 
         size = np.ones(m, np.int64)
         for ri in range(m - 1, -1, -1):
             if not is_leaf_rec(ri):
-                size[ri] = 1 + size[recs[ri][3]] + size[recs[ri][4]]
+                size[ri] = 1 + sum(size[c] for c in kids_of(ri))
         out = np.zeros((8, size[root]), np.float32)
         slot = 0
         stack = [(root, -1)]
@@ -563,8 +607,15 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                 out[7, slot] = lo * 64 + span
             else:
                 out[7, slot] = -1.0
-                stack.append((b, esc))
-                stack.append((a, base + slot + 1 + size[a]))
+                ks = kids_of(ri)
+                nxt = base + slot + 1
+                escs = []
+                for c in ks:
+                    nxt += size[c]
+                    escs.append(nxt)  # next sibling's slot
+                escs[-1] = esc        # last child exits like the parent
+                for c, e in zip(reversed(ks), reversed(escs)):
+                    stack.append((c, e))
             slot += 1
         assert slot == size[root]
         return out
@@ -814,12 +865,13 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
         if accel == "tree" or (accel == "auto"
                                and cl.shape[1] > TREE_THRESHOLD):
             if tail_csize:
-                perm, tree, troot = _sah_threaded_tree(mn2, mx2, csize,
-                                                       tail_csize)
+                perm, tree, troot = _sah_threaded_tree(
+                    mn2, mx2, csize, tail_csize,
+                    collapse_tau=COLLAPSE_TAU)
                 return np.ascontiguousarray(tab[:, perm]), tree, troot
             perm, tree = _sah_threaded_tree(
                 mn2, mx2, csize, sbvh_alpha=SBVH_ALPHA,
-                clip_verts=clip_verts)
+                clip_verts=clip_verts, collapse_tau=COLLAPSE_TAU)
             return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
@@ -1035,7 +1087,8 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             # Globalization runs in int64 with an explicit f32-exactness
             # gate: beyond 2^24 the packed value would round silently and
             # corrupt leaf ranges (round-2 advisor finding).
-            perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER)
+            perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER,
+                                             collapse_tau=COLLAPSE_TAU)
             tab = np.ascontiguousarray(tab[:, perm2])
             tree = tree.copy()
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)

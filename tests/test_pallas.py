@@ -557,3 +557,88 @@ def test_sbvh_spatial_splits():
     a = render(0.0)
     b = render(1e-5)
     np.testing.assert_array_equal(a, b)
+
+
+def test_collapse_tau_splice():
+    """Nearly-always-hit node splice (collapse_tau > 0): internal nodes
+    whose area is >= tau x the parent's are removed from the threaded
+    table; children attach to the parent via the (arity-agnostic)
+    escape links.  The leaf runs and primitive permutation must be
+    UNCHANGED (bit-identical traversal), the table strictly smaller,
+    links well-formed — and a traced mesh frame bit-identical."""
+    import parallelraytracing_tpu.ops.pallas_trace as pt
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    mn = rng.uniform(-50, 50, (n, 3))
+    mx = mn + rng.uniform(0.1, 6.0, (n, 3))
+    perm0, t0 = pt._sah_threaded_tree(mn, mx, 4)
+    perm1, t1 = pt._sah_threaded_tree(mn, mx, 4, collapse_tau=0.5)
+    assert np.array_equal(perm0, perm1)  # splice touches topology only
+    assert t1.shape[1] < t0.shape[1]     # nodes really got removed
+
+    def leaf_runs(t):
+        enc = t[7][t[7] >= 0].astype(np.int64)
+        return sorted(zip((enc >> 6).tolist(), (enc & 63).tolist()))
+
+    assert leaf_runs(t0) == leaf_runs(t1)  # identical primitive schedule
+    m = t1.shape[1]
+    miss = t1[6]
+    idx = np.arange(m)
+    assert ((miss > idx) | (miss == -1)).all()
+    # escape-link reachability: an always-enter walk visits every column
+    # exactly once (preorder), an always-miss walk terminates
+    node, seen = 0, 0
+    while node >= 0 and seen <= m:
+        seen += 1
+        node = node + 1 if t1[7, node] < 0 else int(miss[node])
+        if node >= m:
+            break
+    # children boxes contained in parent span (same property as the
+    # binary tree: a node's subtree lies between it and its miss link)
+    leaves = t1[7] >= 0
+    for s in np.nonzero(~leaves)[0]:
+        end = int(miss[s]) if miss[s] >= 0 else m
+        span = np.arange(s + 1, end)
+        sl = span[leaves[span]]
+        assert len(sl) > 0
+        assert (t1[:3, sl] >= t1[:3, s:s + 1] - 1e-4).all()
+        assert (t1[3:6, sl] <= t1[3:6, s:s + 1] + 1e-4).all()
+
+    # --- bit-identity on a real mesh render (interpret mode)
+    from parallelraytracing_tpu import Film, RenderConfig, Scene
+    from parallelraytracing_tpu.core.camera import Camera
+    from parallelraytracing_tpu.core.mesh import load_ply
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+
+    def render(tau):
+        old = pt.COLLAPSE_TAU
+        pt.COLLAPSE_TAU = tau
+        try:
+            mesh = load_ply(
+                "/root/reference/assets/models/icosahedron.ply")
+            scene = Scene(preset=None)
+            mat = scene.add_lambertian((0.75, 0.65, 0.5))
+            scene.add_mesh(mesh, mat, ((4, 4, 4), (0, 30, 0), (0, 4, 0)))
+            g = scene.add_lambertian((0.5, 0.5, 0.5))
+            scene.add_quad(50, 50, g, None)
+            light = scene.add_emissive((10, 10, 10))
+            scene.add_sphere(2.0, light, ((1, 1, 1), (0, 0, 0),
+                                          (8, 15, 8)))
+            cfg = RenderConfig(width=96, height=64, max_depth=4, seed=0)
+            film = Film(cfg.width, cfg.height)
+            r = FusedRenderer.__new__(FusedRenderer)
+            r.accel = "tree"
+            r.sub_rows = 0
+            eye = np.array([0., 8., 16.])
+            cam = Camera(eye, np.array([0., 4., 0.]) - eye, 96., 64.,
+                         100.)
+            r.init(film, scene, cam, cfg)
+            r.progressive_render()
+            return np.asarray(film.hdr_average())
+        finally:
+            pt.COLLAPSE_TAU = old
+
+    a = render(0.0)
+    b = render(0.5)
+    np.testing.assert_array_equal(a, b)
