@@ -78,7 +78,9 @@ SBVH_ALPHA = float(_os.environ.get("PRT_SBVH_ALPHA", "0"))
 #: entry, so the test is pure overhead; the preorder escape links
 #: encode arbitrary arity, so this is a host-side table rewrite with
 #: BIT-IDENTICAL traversal results (leaf runs unchanged).  0 disables.
-COLLAPSE_TAU = float(_os.environ.get("PRT_COLLAPSE_TAU", "0"))
+#: Default 0.6 — the measured optimum (dragon 1471->1382, bunny
+#: 1044->985, spheres neutral; 0.45 over-flattens 2.7x, RESULTS.md).
+COLLAPSE_TAU = float(_os.environ.get("PRT_COLLAPSE_TAU", "0.6"))
 
 # Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
 # table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
