@@ -221,6 +221,12 @@ class WavefrontFusedRenderer(Renderer):
     rows: int = int(os.environ.get("PRT_ROWS", "24"))
 
     #: bounces per Pallas kernel invocation between compaction/sorts.
+    #: Default is scene-aware (set in _post_init unless PRT_SEGMENT is
+    #: given): triangle-heavy scenes prefer LONGER segments once the
+    #: node splice cheapened the walk (measured post-splice optima,
+    #: RESULTS.md "Post-splice re-sweeps": bunny seg 3/4/5 =
+    #: 1006/934/921 ms, dragon seg 4/5/6 = 1243/1215/1253 ms; the
+    #: sphere sweep's seg=3 stands for non-mesh scenes).
     segment: int = int(os.environ.get("PRT_SEGMENT", "3"))
 
     #: between-segment re-sort key: "octant" (direction octant major,
@@ -233,6 +239,11 @@ class WavefrontFusedRenderer(Renderer):
     vmem_threshold: int = 2048
 
     def _post_init(self) -> None:
+        n_tri = len(self._scene._tri) + sum(
+            len(m.indices) // 3
+            for m in getattr(self._scene, "_inst_meshes", []))
+        if "PRT_SEGMENT" not in os.environ and n_tri > 512:
+            self.segment = 5
         from parallelraytracing_tpu.engines.tables import build_scene_tables
         self._tables, self._scene_data = build_scene_tables(
             self._scene, self.config, accel=self.accel,
