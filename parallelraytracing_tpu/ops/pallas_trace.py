@@ -81,6 +81,12 @@ SBVH_ALPHA = float(_os.environ.get("PRT_SBVH_ALPHA", "0"))
 #: Default 0.6 — the measured optimum (dragon 1471->1382, bunny
 #: 1044->985, spheres neutral; 0.45 over-flattens 2.7x, RESULTS.md).
 COLLAPSE_TAU = float(_os.environ.get("PRT_COLLAPSE_TAU", "0.6"))
+#: Absolute-area splice companion: also splice an internal node whose
+#: surface area is >= abs_alpha x the ROOT's.  The whole-TILE union
+#: amplifies per-ray hit probability (any of ~3072 spread lanes), so
+#: top-of-tree nodes are near-certain entries even when their
+#: parent-ratio sits below COLLAPSE_TAU.  0 disables.
+COLLAPSE_ABS = float(_os.environ.get("PRT_COLLAPSE_ABS", "0"))
 
 # Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
 # table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
@@ -192,7 +198,8 @@ STACK_CAP = 128
 def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                        tail_csize: int = 0, sbvh_alpha: float = 0.0,
                        clip_verts=None, sbvh_max_factor: float = 1.4,
-                       collapse_tau: float = 0.0):
+                       collapse_tau: float = 0.0,
+                       collapse_abs: float = 0.0):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
 
@@ -575,8 +582,15 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
             if ks is None:
                 ks = []
                 for c in (recs[ri][3], recs[ri][4]):
-                    if (collapse_tau > 0.0 and not is_leaf_rec(c)
-                            and rarea[c] >= collapse_tau * rarea[ri]):
+                    # Parent-ratio rule (collapse_tau) OR absolute-area
+                    # rule (collapse_abs x root area): either marks the
+                    # child's slab test a near-certain tile hit.
+                    if (not is_leaf_rec(c)
+                        and ((collapse_tau > 0.0
+                              and rarea[c] >= collapse_tau * rarea[ri])
+                             or (collapse_abs > 0.0
+                                 and rarea[c] >= collapse_abs
+                                 * rarea[root]))):
                         ks.extend(kids_of(c))
                     else:
                         ks.append(c)
@@ -869,11 +883,13 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
             if tail_csize:
                 perm, tree, troot = _sah_threaded_tree(
                     mn2, mx2, csize, tail_csize,
-                    collapse_tau=COLLAPSE_TAU)
+                    collapse_tau=COLLAPSE_TAU,
+                    collapse_abs=COLLAPSE_ABS)
                 return np.ascontiguousarray(tab[:, perm]), tree, troot
             perm, tree = _sah_threaded_tree(
                 mn2, mx2, csize, sbvh_alpha=SBVH_ALPHA,
-                clip_verts=clip_verts, collapse_tau=COLLAPSE_TAU)
+                clip_verts=clip_verts, collapse_tau=COLLAPSE_TAU,
+                collapse_abs=COLLAPSE_ABS)
             return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
@@ -1090,7 +1106,8 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             # gate: beyond 2^24 the packed value would round silently and
             # corrupt leaf ranges (round-2 advisor finding).
             perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER,
-                                             collapse_tau=COLLAPSE_TAU)
+                                             collapse_tau=COLLAPSE_TAU,
+                                             collapse_abs=COLLAPSE_ABS)
             tab = np.ascontiguousarray(tab[:, perm2])
             tree = tree.copy()
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)

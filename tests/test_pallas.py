@@ -642,3 +642,41 @@ def test_collapse_tau_splice():
     a = render(0.0)
     b = render(0.5)
     np.testing.assert_array_equal(a, b)
+
+def test_collapse_abs_splice():
+    """Absolute-area splice companion (collapse_abs > 0): nodes whose
+    area is >= abs x the ROOT's are spliced even when their
+    parent-ratio sits below tau (top-of-tree nodes are near-certain
+    whole-tile hits).  Same invariants as the tau splice: permutation
+    and leaf runs unchanged, table strictly smaller, links
+    well-formed."""
+    import parallelraytracing_tpu.ops.pallas_trace as pt
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    mn = rng.uniform(-50, 50, (n, 3))
+    mx = mn + rng.uniform(0.1, 6.0, (n, 3))
+    perm0, t0 = pt._sah_threaded_tree(mn, mx, 4, collapse_tau=0.6)
+    perm1, t1 = pt._sah_threaded_tree(mn, mx, 4, collapse_tau=0.6,
+                                      collapse_abs=0.02)
+    assert np.array_equal(perm0, perm1)
+    assert t1.shape[1] < t0.shape[1]
+
+    def leaf_runs(t):
+        enc = t[7][t[7] >= 0].astype(np.int64)
+        return sorted(zip((enc >> 6).tolist(), (enc & 63).tolist()))
+
+    assert leaf_runs(t0) == leaf_runs(t1)
+    m = t1.shape[1]
+    miss = t1[6]
+    idx = np.arange(m)
+    assert ((miss > idx) | (miss == -1)).all()
+    # containment: every leaf under an internal node stays inside it
+    leaves = t1[7] >= 0
+    for s in np.nonzero(~leaves)[0]:
+        end = int(miss[s]) if miss[s] >= 0 else m
+        span = np.arange(s + 1, end)
+        sl = span[leaves[span]]
+        assert len(sl) > 0
+        assert (t1[:3, sl] >= t1[:3, s:s + 1] - 1e-4).all()
+        assert (t1[3:6, sl] <= t1[3:6, s:s + 1] + 1e-4).all()
