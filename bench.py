@@ -177,16 +177,22 @@ def main() -> None:
     if os.environ.get("BENCH_WORKLOADS", "all") != "headline":
         from parallelraytracing_tpu.core.mesh import load_ply
 
-        def bunny_scene():
-            mesh = load_ply("/root/reference/assets/models/bunny.ply")
-            s = Scene(preset=None)
-            mat = s.add_lambertian((0.75, 0.65, 0.5))
-            s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
-            ground = s.add_lambertian((0.5, 0.5, 0.5))
-            s.add_quad(100, 100, ground, None)
-            light = s.add_emissive((12, 12, 12))
-            s.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
-            return s
+        def mesh_scene(name):
+            def build():
+                mesh = load_ply(f"/root/reference/assets/models/{name}.ply")
+                s = Scene(preset=None)
+                mat = s.add_lambertian((0.75, 0.65, 0.5))
+                s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+                ground = s.add_lambertian((0.5, 0.5, 0.5))
+                s.add_quad(100, 100, ground, None)
+                light = s.add_emissive((12, 12, 12))
+                s.add_sphere(3.0, light,
+                             ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+                return s
+            return build
+
+        bunny_scene = mesh_scene("bunny")
+        dragon_scene = mesh_scene("dragon")
 
         def multimesh_scene():
             ico = load_ply("/root/reference/assets/models/icosahedron.ply")
@@ -225,7 +231,9 @@ def main() -> None:
         mesh_frames = max(2, frames // 2)
         for tag, (sc, cam2, cfg2, prefs) in {
             "bunny_sah_1080p_d20": (bunny_scene, bunny_cam, mesh_cfg,
-                                    ["fused", "bvh"]),
+                                    ["wavefront_fused", "fused", "bvh"]),
+            "dragon_sah_1080p_d20": (dragon_scene, bunny_cam, mesh_cfg,
+                                     ["wavefront_fused", "fused", "bvh"]),
             "multimesh_tlas_halfres_d8": (multimesh_scene, mm_cam, mm_cfg,
                                           ["tlas", "fused"]),
         }.items():
