@@ -87,6 +87,16 @@ COLLAPSE_TAU = float(_os.environ.get("PRT_COLLAPSE_TAU", "0.6"))
 #: top-of-tree nodes are near-certain entries even when their
 #: parent-ratio sits below COLLAPSE_TAU.  0 disables.
 COLLAPSE_ABS = float(_os.environ.get("PRT_COLLAPSE_ABS", "0"))
+#: Tile-SAH build cost (experimental lever): model the kernel's
+#: whole-tile ANY-LANE entry by saturating each child's entry
+#: probability at 1 — split cost = min(1, K*A_child/A_parent)*N_child
+#: with classic SAH as an epsilon tiebreak.  K ~ the number of
+#: effectively-independent rays per tile.  Changes split SELECTION
+#: (the splice only post-processes a classic tree); traversal results
+#: stay bit-identical by the global-ordinal winner fold.  0 = classic
+#: SAH (default).  Incompatible with PRT_SBVH_ALPHA (different cost
+#: scales); tile-SAH skips the SBVH competition.
+TILE_SAH_K = float(_os.environ.get("PRT_TILE_SAH_K", "0"))
 
 # Straggler-tail traversal (sphere/quad SAH trees): when > 0, the tree
 # table carries a second FINE view (leaves of TAIL_CLUSTER primitives)
@@ -199,7 +209,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                        tail_csize: int = 0, sbvh_alpha: float = 0.0,
                        clip_verts=None, sbvh_max_factor: float = 1.4,
                        collapse_tau: float = 0.0,
-                       collapse_abs: float = 0.0):
+                       collapse_abs: float = 0.0,
+                       tile_k: float = 0.0):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
 
@@ -401,6 +412,7 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
         cmin = rcen.min(0)
         cmax = rcen.max(0)
         ext = cmax - cmin
+        pa = max(area(bmn, bmx), 1e-30)
         best = None  # (cost, axis, bins, split)
         # SAH can split pathologically unbalanced (1 vs n-1 per level);
         # beyond depth 60 force median splits so host recursion and the
@@ -452,12 +464,22 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                 nr = len(ids) - nl
                 if nl == 0 or nr == 0:
                     continue
-                cost = pre_a[k] * nl + suf_a[k + 1] * nr
+                classic = pre_a[k] * nl + suf_a[k + 1] * nr
+                if tile_k > 0.0:
+                    # Tile-SAH: whole-tile ANY-LANE entry saturates a
+                    # child's entry probability at 1; inside saturated
+                    # regions classic SAH breaks ties.
+                    cost = (min(1.0, tile_k * pre_a[k] / pa) * nl
+                            + min(1.0, tile_k * suf_a[k + 1] / pa) * nr
+                            + 1e-6 * classic / pa)
+                else:
+                    cost = classic
                 if best is None or cost < best[0]:
                     best = (cost, ax, b, k, bin_mn, bin_mx)
         # SBVH: when the object split's children overlap more than
         # alpha x root area, let a spatial split compete.
-        if best is not None and sbvh_alpha > 0.0 and ref_budget[0] > 0:
+        if (best is not None and sbvh_alpha > 0.0 and ref_budget[0] > 0
+                and tile_k == 0.0):  # SBVH competes on the classic scale
             _, ax, b, k, bin_mn, bin_mx = best
             lmx = bin_mx[:k + 1].max(0)
             rmn_b = bin_mn[k + 1:].min(0)
@@ -884,12 +906,12 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
                 perm, tree, troot = _sah_threaded_tree(
                     mn2, mx2, csize, tail_csize,
                     collapse_tau=COLLAPSE_TAU,
-                    collapse_abs=COLLAPSE_ABS)
+                    collapse_abs=COLLAPSE_ABS, tile_k=TILE_SAH_K)
                 return np.ascontiguousarray(tab[:, perm]), tree, troot
             perm, tree = _sah_threaded_tree(
                 mn2, mx2, csize, sbvh_alpha=SBVH_ALPHA,
                 clip_verts=clip_verts, collapse_tau=COLLAPSE_TAU,
-                collapse_abs=COLLAPSE_ABS)
+                collapse_abs=COLLAPSE_ABS, tile_k=TILE_SAH_K)
             return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
@@ -1107,7 +1129,8 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
             # corrupt leaf ranges (round-2 advisor finding).
             perm2, tree = _sah_threaded_tree(mn, mx, TRI_CLUSTER,
                                              collapse_tau=COLLAPSE_TAU,
-                                             collapse_abs=COLLAPSE_ABS)
+                                             collapse_abs=COLLAPSE_ABS,
+                                             tile_k=TILE_SAH_K)
             tab = np.ascontiguousarray(tab[:, perm2])
             tree = tree.copy()
             tree[6] = np.where(tree[6] >= 0, tree[6] + node_off, -1.0)

@@ -680,3 +680,74 @@ def test_collapse_abs_splice():
         assert len(sl) > 0
         assert (t1[:3, sl] >= t1[:3, s:s + 1] - 1e-4).all()
         assert (t1[3:6, sl] <= t1[3:6, s:s + 1] + 1e-4).all()
+
+
+def test_tile_sah_cost_model():
+    """Tile-SAH build (tile_k > 0): split costs saturate each child's
+    entry probability at 1 (the whole-tile ANY-LANE union).  Unlike the
+    splices this changes split SELECTION, so the permutation and leaf
+    runs may differ from classic SAH — the invariants are structural
+    (well-formed links, parent containment, every valid primitive in
+    exactly one leaf run) plus a bit-identical rendered image (the
+    global-ordinal winner fold makes closest-hit tree-independent)."""
+    import parallelraytracing_tpu.ops.pallas_trace as pt
+
+    rng = np.random.default_rng(37)
+    n = 2000
+    mn = rng.uniform(-50, 50, (n, 3))
+    mx = mn + rng.uniform(0.1, 6.0, (n, 3))
+    perm1, t1 = pt._sah_threaded_tree(mn, mx, 4, tile_k=20.0)
+
+    m = t1.shape[1]
+    miss = t1[6]
+    idx = np.arange(m)
+    assert ((miss > idx) | (miss == -1)).all()
+    leaves = t1[7] >= 0
+    # every valid primitive appears exactly once across leaf runs
+    enc = t1[7][leaves].astype(np.int64)
+    covered = np.concatenate([np.arange(lo, lo + sp) for lo, sp in
+                              zip((enc >> 6), (enc & 63))])
+    assert len(covered) == len(np.unique(covered)) == n
+    for s in np.nonzero(~leaves)[0]:
+        end = int(miss[s]) if miss[s] >= 0 else m
+        span = np.arange(s + 1, end)
+        sl = span[leaves[span]]
+        assert len(sl) > 0
+        assert (t1[:3, sl] >= t1[:3, s:s + 1] - 1e-4).all()
+        assert (t1[3:6, sl] <= t1[3:6, s:s + 1] + 1e-4).all()
+
+    # --- bit-identity on a real mesh render (interpret mode)
+    from parallelraytracing_tpu import Film, RenderConfig, Scene
+    from parallelraytracing_tpu.core.camera import Camera
+    from parallelraytracing_tpu.core.mesh import load_ply
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+
+    def render(k):
+        old = pt.TILE_SAH_K
+        pt.TILE_SAH_K = k
+        try:
+            mesh = load_ply(
+                "/root/reference/assets/models/icosahedron.ply")
+            scene = Scene(preset=None)
+            mat = scene.add_lambertian((0.75, 0.65, 0.5))
+            scene.add_mesh(mesh, mat, ((4, 4, 4), (0, 30, 0), (0, 4, 0)))
+            g = scene.add_lambertian((0.5, 0.5, 0.5))
+            scene.add_quad(50, 50, g, None)
+            light = scene.add_emissive((10, 10, 10))
+            scene.add_sphere(2.0, light, ((1, 1, 1), (0, 0, 0),
+                                          (8, 15, 8)))
+            cfg = RenderConfig(width=96, height=64, max_depth=4, seed=0)
+            film = Film(cfg.width, cfg.height)
+            r = FusedRenderer.__new__(FusedRenderer)
+            r.accel = "tree"
+            r.sub_rows = 0
+            eye = np.array([0., 8., 16.])
+            cam = Camera(eye, np.array([0., 4., 0.]) - eye, 96., 64.,
+                         100.)
+            r.init(film, scene, cam, cfg)
+            r.progressive_render()
+            return np.asarray(film.hdr_average())
+        finally:
+            pt.TILE_SAH_K = old
+
+    np.testing.assert_array_equal(render(0.0), render(20.0))
