@@ -117,6 +117,39 @@ def main():
     render("dragon", s, Camera(eye, look - eye, 512, 512),
            "wavefront_fused" if on_tpu else "bvh", 512, 512, 8, depth=8)
 
+    # Remaining reference PLY assets (assets/models/): feline and hand.
+    # Same shading families as the dragon/bunny showcases so every mesh
+    # the reference ships has a rendered proof through the TPU kernels.
+    mesh = load_ply("/root/reference/assets/models/feline.ply")
+    s = Scene(preset=None)
+    body = s.add_lambertian((0.62, 0.48, 0.35))
+    s.add_mesh(mesh, body, ((9, 9, 9), (0, 150, 0), (0, 9.0, 0)))
+    glass = s.add_dielectric(1.5)
+    s.add_sphere(2.5, glass, ((1, 1, 1), (0, 0, 0), (10, 2.5, 10)))
+    ground = s.add_lambertian((0.45, 0.5, 0.45))
+    s.add_quad(120, 120, ground, None)
+    light = s.add_emissive((11, 10, 9))
+    s.add_sphere(3.5, light, ((1, 1, 1), (0, 0, 0), (-12, 28, 14)))
+    eye = np.array([0.0, 14.0, 30.0])
+    look = np.array([0.0, 8.0, 0.0])
+    render("feline", s, Camera(eye, look - eye, 512, 512),
+           "wavefront_fused" if on_tpu else "bvh", 512, 512, 8, depth=8)
+
+    mesh = load_ply("/root/reference/assets/models/hand.ply")
+    s = Scene(preset=None)
+    body = s.add_metal((0.85, 0.75, 0.55), 0.2)
+    s.add_mesh(mesh, body, ((14, 14, 14), (-30, 210, 0), (0, 7, 0)))
+    ground = s.add_lambertian((0.42, 0.42, 0.5))
+    s.add_quad(120, 120, ground, None)
+    red = s.add_lambertian((0.75, 0.2, 0.15))
+    s.add_sphere(1.5, red, ((1, 1, 1), (0, 0, 0), (-7, 1.5, 8)))
+    light = s.add_emissive((12, 11, 10))
+    s.add_sphere(4.0, light, ((1, 1, 1), (0, 0, 0), (16, 30, 10)))
+    eye = np.array([0.0, 10.0, 17.0])
+    look = np.array([0.0, 6.0, 0.0])
+    render("hand", s, Camera(eye, look - eye, 512, 512),
+           "wavefront_fused" if on_tpu else "bvh", 512, 512, 8, depth=8)
+
     # BASELINE config 4: multi-mesh scene through TRUE TLAS/BLAS
     # instancing — geometry memory proportional to unique meshes (the
     # bunny + icosahedron BLASes are stored once; 7 instances).
