@@ -97,26 +97,42 @@ def main() -> None:
 
         from parallelraytracing_tpu.engines.wavefront_fused import \
             count_frame_rays
-        from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+        from parallelraytracing_tpu.ops.rays import (
+            frame_stream_seeds, generate_camera_rays_ids)
+
+        # count_frame_rays traces through pallas_segment, whose 14 ray
+        # planes cannot afford the fused engine's hot/cold triangle
+        # split (scoped-VMEM OOM at dragon scale — plan_table doc).  If
+        # the measured engine carries split tables, rebuild a merged
+        # segment-safe set just for counting: the count only depends on
+        # the PCG streams, not the table layout.
+        tables = r._tables
+        if tables.tri_cold is not None or tables.itri_cold is not None:
+            from parallelraytracing_tpu.engines.tables import \
+                build_scene_tables
+            eye = (r._camera.position
+                   if getattr(r, "front_to_back", False) else None)
+            tables, _ = build_scene_tables(
+                r._scene, cfg, accel=getattr(r, "accel", "auto"),
+                vmem_threshold=getattr(r, "vmem_threshold", 2048),
+                eye=eye, allow_partial=False)
+
         total = 0
         ids = jnp.arange(cfg.pixel_count, dtype=jnp.int32)
         for f in range(n_frames):
             base = jax.random.fold_in(
                 jax.random.PRNGKey(cfg.seed), jnp.uint32(f))
             skey = jax.random.fold_in(base, jnp.uint32(0))
-            k_jit, k_path = jax.random.split(skey)
             # the engines' exact streams: pixel-keyed jitter + frame seed
             # (order-invariant, so scanline ids replay Morton traces)
-            jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
-                                       jnp.int32).astype(jnp.uint32)
+            jseed, s0 = frame_stream_seeds(skey)
             o, d = generate_camera_rays_ids(
                 r._cam_params, cfg.width, cfg.height, ids, None,
                 cfg.jitter, pix_seed=jseed)
             pix = ids.astype(jnp.float32)
-            seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1,
-                                      jnp.int32)
+            seed = s0[None]
             total += int(count_frame_rays(
-                r._tables, o, d, pix, seed, r.rows, cfg, r._interpret))
+                tables, o, d, pix, seed, r.rows, cfg, r._interpret))
         return total / n_frames
 
     def measure(scene, cam, cfg, prefs, n_frames):

@@ -43,19 +43,17 @@ def stats_for(scene, cam, cfg, accel="auto", frame=1):
     r.sub_rows = 0
     r.init(film, scene, cam, cfg)
 
-    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+    from parallelraytracing_tpu.ops.rays import (frame_stream_seeds,
+                                                 generate_camera_rays_ids)
     base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                               jnp.uint32(frame))
     skey = jax.random.fold_in(base, jnp.uint32(0))
-    k_jit, k_path = jax.random.split(skey)
-    jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
-                               jnp.int32).astype(jnp.uint32)
+    jseed, s0 = frame_stream_seeds(skey)
     o, d = generate_camera_rays_ids(r._cam_params, cfg.width, cfg.height,
                                     r._ids, None, cfg.jitter,
                                     pix_seed=jseed)
     pix = r._ids.astype(jnp.float32)
-    seed = jnp.asarray([jax.random.randint(k_path, (), 0, 2**31 - 1,
-                                           jnp.int32)], jnp.int32)
+    seed = s0[None]
     from parallelraytracing_tpu.engines.tables import trace_tables
     rad, stats = trace_tables(r._tables, o, d, pix, seed, r.rows, cfg,
                               r._interpret, collect_stats=True)

@@ -31,6 +31,7 @@ import numpy as np
 from parallelraytracing_tpu.config import RenderConfig
 from parallelraytracing_tpu.engines.base import Renderer, register_engine
 from parallelraytracing_tpu.ops.pallas_trace import LANES
+from parallelraytracing_tpu.ops.rays import frame_stream_seeds
 
 
 def _on_tpu() -> bool:
@@ -103,7 +104,17 @@ class FusedRenderer(Renderer):
     def set_camera(self, camera) -> None:
         super().set_camera(camera)
         if self.front_to_back and hasattr(self, "_tables"):
-            self._pack_tables()  # cluster order is camera-dependent
+            # Cluster order is camera-dependent ONLY for linear-scan
+            # kinds (tables.eye_dependent); SAH trees are static.  The
+            # repack is a full host-side SAH rebuild (seconds at mesh
+            # scale), so skip it when no table actually depends on the
+            # eye, or when the eye hasn't moved since the last pack
+            # (the viewer's warm-engine cache re-selecting this engine).
+            eye = np.asarray(self._camera.position, np.float64)
+            if (self._tables.eye_dependent
+                    and not np.array_equal(eye,
+                                           getattr(self, "_pack_eye", None))):
+                self._pack_tables()
 
     def _post_init(self) -> None:
         self._pack_tables()
@@ -135,6 +146,8 @@ class FusedRenderer(Renderer):
         self._tables, self._scene_data = build_scene_tables(
             self._scene, self.config, accel=self.accel,
             vmem_threshold=self.vmem_threshold, eye=eye)
+        self._pack_eye = (None if eye is None
+                          else np.asarray(eye, np.float64).copy())
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
         from parallelraytracing_tpu.engines.tables import trace_tables
@@ -145,18 +158,14 @@ class FusedRenderer(Renderer):
         acc = None
         for s in range(cfg.samples_per_frame):
             skey = jax.random.fold_in(base, jnp.uint32(s))
-            k_jit, k_path = jax.random.split(skey)
-            # Pixel-keyed jitter + frame-keyed path seed: the exact
-            # derivation of the sharded engine, so fused == sharded ==
-            # wavefront_fused bit-for-bit (jitter on or off).
-            jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
-                                       jnp.int32).astype(jnp.uint32)
+            # Pixel-keyed jitter + frame-keyed path seed: the ONE shared
+            # derivation (ops/rays.frame_stream_seeds), so fused ==
+            # sharded == wavefront_fused bit-for-bit (jitter on or off).
+            jseed, s0 = frame_stream_seeds(skey)
             o, d = raygen_ids(self._cam_params, self._ids, jseed,
                               cfg.width, cfg.height, cfg.jitter)
             pix = self._ids.astype(jnp.float32)
-            seed = jnp.asarray(
-                [jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)],
-                jnp.int32)
+            seed = s0[None]
             rad = trace_tables(self._tables, o, d, pix, seed, self.rows,
                                cfg, self._interpret,
                                sub_rows=self.sub_rows)

@@ -44,6 +44,10 @@ class ShardedRenderer(FusedRenderer):
     #: pure spatial data parallelism.
     spp_axis: int = int(os.environ.get("PRT_SPP_AXIS", "1"))
 
+    #: explicit device list for the mesh (None = all visible devices) —
+    #: lets harnesses validate an n-device mesh on a host exposing more.
+    devices = None
+
     #: keep the FILM in shard order too (Film.set_layout): accumulation
     #: then stays px-sharded and the Morton inverse gather moves from
     #: every frame to display time only (VERDICT r2 item 7).
@@ -60,10 +64,12 @@ class ShardedRenderer(FusedRenderer):
             make_render_mesh, render_frame_sharded_fused)
         super()._post_init()  # packs self._tables (full fused feature set)
 
-        n_dev = len(jax.devices())
+        devs = (list(self.devices) if self.devices is not None
+                else list(jax.devices()))
+        n_dev = len(devs)
         spp = (self.spp_axis
                if self.spp_axis >= 1 and n_dev % self.spp_axis == 0 else 1)
-        self._mesh = make_render_mesh(spp_axis=spp)
+        self._mesh = make_render_mesh(devs, spp_axis=spp)
 
         # Morton-order pixel ids so each device's block is a coherent
         # screen region (the fused engine's 1.34x tile win); pad slots

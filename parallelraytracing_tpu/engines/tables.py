@@ -59,6 +59,10 @@ class PallasSceneTables:
     #: per-kind fine-view roots for the straggler-tail walk
     #: (pallas_trace TAIL_CLUSTER; (-1,-1,-1) = single-view trees)
     tail_roots: Tuple[int, int, int] = (-1, -1, -1)
+    #: True iff some table column order depends on the camera eye (a
+    #: linear-scan kind took front-to-back ordering) — when False,
+    #: camera moves never require a repack (SAH trees are static)
+    eye_dependent: bool = False
 
 
 jax.tree_util.register_dataclass(
@@ -67,7 +71,7 @@ jax.tree_util.register_dataclass(
                  "mats", "lights", "tri_cold", "tri_hot", "inst",
                  "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
-                 "tail_roots"],
+                 "tail_roots", "eye_dependent"],
 )
 
 
@@ -113,7 +117,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         itri = None
 
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
-     tail_roots) = pack_scene_tables(host_scene, accel=accel, eye=eye)
+     tail_roots, eye_used) = pack_scene_tables(host_scene, accel=accel,
+                                               eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
 
@@ -147,8 +152,13 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         if tri_hot is not None:
             other += smem_padded_bytes(tri_hot.shape)
         other += smem_sz(tri_tab, tri_vm)
-        itri_tab, itri_cold, itri_vm, _, _ihot = plan_table(
-            itri, 16, other, vmem_threshold, allow_partial=allow_partial)
+        # allow_partial=False: the kernel has no itri SMEM-prefix
+        # dispatch (pallas_trace takes tri_hot only), so the large-case
+        # split would pay the two-table layout with none of the prefix
+        # benefit — keep the merged VMEM table there instead.  The
+        # mid-size hot-SMEM/cold-VMEM split is unaffected.
+        itri_tab, itri_cold, itri_vm, _, _ = plan_table(
+            itri, 16, other, vmem_threshold, allow_partial=False)
         inst_dev = tuple(jax.device_put(jnp.asarray(a))
                          for a in (itri_tab, iacc, ibox, inst))
         itri_cold_dev = (None if itri_cold is None
@@ -194,6 +204,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         bb=(tuple(float(x) for x in lo),
             tuple(float(1.0 / x) for x in ext)),
         tail_roots=tuple(int(x) for x in tail_roots),
+        eye_dependent=bool(eye_used),
     )
     return tables, scene_data
 

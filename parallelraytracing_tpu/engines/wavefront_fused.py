@@ -36,6 +36,7 @@ from parallelraytracing_tpu.config import RenderConfig
 from parallelraytracing_tpu.engines.base import Renderer, register_engine
 from parallelraytracing_tpu.engines.fused import morton_pixel_perm
 from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_segment
+from parallelraytracing_tpu.ops.rays import frame_stream_seeds
 
 
 def _on_tpu() -> bool:
@@ -261,18 +262,17 @@ class WavefrontFusedRenderer(Renderer):
         acc = None
         for s in range(cfg.samples_per_frame):
             skey = jax.random.fold_in(base, jnp.uint32(s))
-            k_jit, k_path = jax.random.split(skey)
             # Morton pixel order for primary-segment coherence, generated
             # DIRECTLY from the permuted ids (no o/d gathers) with
-            # pixel-keyed jitter — the same streams as fused/sharded, so
-            # the engines stay bit-identical; radiance comes back
-            # pixel-indexed (pix ids ride the queue).
-            jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
-                                       jnp.int32).astype(jnp.uint32)
+            # pixel-keyed jitter — the ONE shared seed derivation
+            # (ops/rays.frame_stream_seeds), so the engines stay
+            # bit-identical; radiance comes back pixel-indexed (pix ids
+            # ride the queue).
+            jseed, s0 = frame_stream_seeds(skey)
             o, d = raygen_ids(self._cam_params, self._perm, jseed,
                               cfg.width, cfg.height, cfg.jitter)
             pix0 = self._perm.astype(jnp.float32)
-            seed = jax.random.randint(k_path, (1,), 0, 2**31 - 1, jnp.int32)
+            seed = s0[None]
             rad = segmented_trace(
                 self._tables, o, d, pix0, seed, self.rows, self.segment,
                 cfg, self._interpret, self.sort_rays)

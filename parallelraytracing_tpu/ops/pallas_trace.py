@@ -818,8 +818,12 @@ TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "4"))
 def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
                       tail_csize: int = None):
     """Returns (sph_tab, quad_tab, tri_tab, sph_acc, quad_acc, tri_acc,
-    mats, tail_roots) float32 host arrays; tail_roots = per-kind fine-view
-    root columns for the straggler-tail walk (TAIL_CLUSTER; -1 = none).
+    mats, tail_roots, eye_used) float32 host arrays; tail_roots = per-kind
+    fine-view root columns for the straggler-tail walk (TAIL_CLUSTER;
+    -1 = none); eye_used = True iff some kind's table actually depends on
+    the eye (a linear-scan kind took the front-to-back ordering) — False
+    lets callers skip camera-move repacks entirely (SAH/tree tables are
+    camera-independent).
     Primitives of each kind are sorted by the Morton
     code of their AABB centroid so consecutive runs of CLUSTER primitives
     are spatially tight; *_acc is the per-kind acceleration table the
@@ -889,6 +893,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
 
     n_sph_full = int(np.asarray(scene.sph_valid).shape[0])
     n_quad_full = int(np.asarray(scene.quad_valid).shape[0])
+    eye_used = [False]  # set by accelerate's front-to-back branch
 
     def accelerate(tab, cl, mn2, mx2, n, csize=None, pad_col=None,
                    tail_csize=0, clip_verts=None):
@@ -914,6 +919,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
                 collapse_abs=COLLAPSE_ABS, tile_k=TILE_SAH_K)
             return np.ascontiguousarray(tab[:, perm]), tree, -1
         if eye is not None and cl.shape[1] > 1:
+            eye_used[0] = True
             tab, cl = _front_to_back(tab, mn2, mx2, eye, csize, pad_col)
             return tab, _append_root(cl, mn2, mx2), -1
         return tab, _append_root(cl, mn2, mx2), -1
@@ -1030,7 +1036,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
-            np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot))
+            np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot),
+            eye_used[0])
 
 
 def pack_lights_table(scene: SceneData) -> np.ndarray:

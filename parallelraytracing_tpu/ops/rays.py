@@ -88,6 +88,22 @@ def generate_camera_rays_flat(
                                     jitter)
 
 
+def frame_stream_seeds(skey: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """THE per-(frame, sample) seed derivation every Pallas engine and
+    instrument shares: split the sample key into the pixel-jitter seed
+    (uint32 scalar, feeds pixel_keyed_jitter) and the in-kernel path
+    seed (int32 scalar).  fused / wavefront_fused / sharded, bench.py's
+    exact ray counter and benchmarks/trace_stats.py must all draw THESE
+    streams — any site drifting by even the randint order breaks the
+    engines' bit-identity contract and the "exact rays" Mrays/s
+    numerator with no error raised, so the derivation lives here once."""
+    k_jit, k_path = jax.random.split(skey)
+    jseed = jax.random.randint(k_jit, (), 0, 2**31 - 1,
+                               jnp.int32).astype(jnp.uint32)
+    seed = jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)
+    return jseed, seed
+
+
 def pixel_keyed_jitter(idx: jax.Array, seed: jax.Array):
     """(jx, jy) in [0,1) from a stateless PCG hash of (pixel id, seed).
 

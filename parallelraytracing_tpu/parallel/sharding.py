@@ -150,7 +150,8 @@ def render_frame_sharded_fused(
     The per-device block must be a multiple of rows*128 rays."""
     from parallelraytracing_tpu.engines.tables import trace_tables
     from parallelraytracing_tpu.ops.pallas_trace import LANES
-    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+    from parallelraytracing_tpu.ops.rays import (frame_stream_seeds,
+                                                 generate_camera_rays_ids)
 
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
@@ -164,9 +165,8 @@ def render_frame_sharded_fused(
 
     # Device-independent seeds, derived once from the frame key: spp
     # shard i offsets them by i (sample stream i), px shards share them.
-    k_jit, k_path = jax.random.split(key)
-    seed0 = jax.random.randint(k_path, (), 0, 2**31 - 1, jnp.int32)
-    jseed0 = jax.random.randint(k_jit, (), 0, 2**31 - 1, jnp.int32)
+    jseed0, seed0 = frame_stream_seeds(key)
+    jseed0 = jseed0.astype(jnp.int32)  # spp-offset math below stays int32
 
     def trace_block(t, cam, seed0, jseed0, ids, spp_i):
         ids = ids.reshape(-1)

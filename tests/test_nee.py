@@ -53,6 +53,15 @@ def test_nee_bvh_matches_megakernel_stream():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_nee_wavefront_matches_megakernel_stream():
+    # The compaction engine's NEE block (engines/wavefront.py) ports the
+    # tracer's estimator over the queue layout; pixel-keyed streams make
+    # the result identical to the megakernel despite the reordering.
+    a = render(ScenePreset.CORNELL, nee=True, frames=4, engine="megakernel")
+    b = render(ScenePreset.CORNELL, nee=True, frames=4, engine="wavefront")
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_in_kernel_nee_fused_unbiased():
     # The Pallas engines run their own in-kernel NEE (pallas_trace.py);
     # same estimator, different RNG stream: means agree with the jnp

@@ -37,8 +37,8 @@ def test_scene_tables_shapes():
     import numpy as np
 
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
-    sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, _troots = pack_scene_tables(
-        scene, accel="linear")
+    (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, _troots,
+     _eye_used) = pack_scene_tables(scene, accel="linear")
     assert sph.shape[0] == 6 and sph.shape[1] == scene.sph_radius.shape[0]
     assert quad.shape[0] == 14
     assert tri.shape[0] == 27
@@ -416,7 +416,7 @@ def test_tail_view_bit_identical_and_well_formed():
     imgs = []
     for tail in (0, 8):
         (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
-         troots) = pack_scene_tables(scene, accel="tree", tail_csize=tail)
+         troots, _) = pack_scene_tables(scene, accel="tree", tail_csize=tail)
         args = [jnp.asarray(a) for a in
                 (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats)]
         rad = pallas_trace(
@@ -751,3 +751,45 @@ def test_tile_sah_cost_model():
             pt.TILE_SAH_K = old
 
     np.testing.assert_array_equal(render(0.0), render(20.0))
+
+
+def test_set_camera_repack_policy():
+    """Camera moves must repack the Pallas tables ONLY when a table
+    actually depends on the eye (a linear-scan kind with >1 cluster took
+    front-to-back ordering).  Tree-mode tables are camera-independent,
+    so the viewer's warm-engine cache and per-frame orbit moves must not
+    pay the host-side rebuild (identity of _tables is the repack probe)."""
+    from parallelraytracing_tpu.core.camera import Camera
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+
+    def mk(accel):
+        cfg = RenderConfig(width=48, height=32, max_depth=2, seed=0)
+        film = Film(cfg.width, cfg.height)
+        r = FusedRenderer.__new__(FusedRenderer)
+        r.accel = accel
+        r.sub_rows = 0
+        r.front_to_back = True
+        r.init(film, Scene(ScenePreset.RANDOM_BALLS_SMALL),
+               default_camera(cfg.width, cfg.height), cfg)
+        return r
+
+    def cam(eye):
+        eye = np.asarray(eye, np.float64)
+        return Camera(eye, -eye, 48.0, 32.0, 100.0)
+
+    # SAH tree: static tables — no repack even when the eye moves.
+    r = mk("tree")
+    assert not r._tables.eye_dependent
+    t0 = r._tables
+    r.set_camera(cam([9.0, 5.0, 9.0]))
+    assert r._tables is t0
+
+    # Linear scan (>1 cluster): front-to-back order is eye-dependent —
+    # a MOVED eye repacks, an unchanged eye does not (warm-cache path).
+    r = mk("linear")
+    assert r._tables.eye_dependent
+    t0 = r._tables
+    r.set_camera(cam(np.asarray(r._camera.position, np.float64)))
+    assert r._tables is t0
+    r.set_camera(cam([9.0, 5.0, 9.0]))
+    assert r._tables is not t0
