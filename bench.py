@@ -26,15 +26,26 @@ import time
 
 def main() -> None:
     # The remote compile service occasionally hangs for tens of minutes;
-    # emit an honest failure record instead of hanging the harness.
+    # emit an honest failure record instead of hanging the harness.  If
+    # the headline already measured before the alarm (a cold cache can
+    # spend the whole budget compiling the mesh workloads), report THAT
+    # with a timeout note rather than a zero.
     import signal
 
+    best_so_far: dict = {}
+
     def _timeout(signum, frame):
-        print(json.dumps({
-            "metric": "Mrays_per_sec_per_chip", "value": 0.0,
-            "unit": "Mrays/s", "vs_baseline": 0.0,
-            "detail": {"error": "bench timed out (TPU compile service)"},
-        }))
+        if best_so_far:
+            rec = dict(best_so_far)
+            rec.setdefault("detail", {})["error"] = \
+                "bench timed out during later workloads (TPU compile service)"
+            print(json.dumps(rec))
+        else:
+            print(json.dumps({
+                "metric": "Mrays_per_sec_per_chip", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+                "detail": {"error": "bench timed out (TPU compile service)"},
+            }))
         sys.stdout.flush()
         os._exit(3)
 
@@ -185,11 +196,21 @@ def main() -> None:
     for cam_name, cam in cameras.items():
         engine, results[cam_name] = measure(scene, cam, cfg, engine_prefs,
                                             frames)
+        if cam_name == "reference_default":
+            hl = results[cam_name]["mrays"]
+            best_so_far.update({
+                "metric": "Mrays_per_sec_per_chip",
+                "value": round(hl, 3), "unit": "Mrays/s",
+                "vs_baseline": round(hl / 200.0, 4),
+                "detail": {"engine": engine, "views": dict(results)},
+            })
 
     # ---- mesh workloads (BASELINE.md milestones 2-5, machine-readable —
     # VERDICT r2 item 8): bunny through the in-kernel SAH BVH and the
     # multi-mesh instanced scene through the in-kernel TLAS/BLAS.
     workloads = {}
+    if best_so_far:  # live reference: timeouts keep completed workloads
+        best_so_far["detail"]["workloads"] = workloads
     if os.environ.get("BENCH_WORKLOADS", "all") != "headline":
         from parallelraytracing_tpu.core.mesh import load_ply
 
