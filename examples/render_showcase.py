@@ -179,6 +179,27 @@ def main():
     render("multimesh_tlas", s, Camera(eye, look - eye, 512, 288),
            "tlas" if on_tpu else "tlas_ref", 512, 288, 8, depth=6)
 
+    # Round-3 extensions: checker textures (in-kernel on TPU) + thin-lens
+    # depth of field — the texture_demo preset with an open aperture
+    # focused on the second sphere row.
+    s = Scene(ScenePreset.TEXTURE_DEMO)
+    eye = np.array([0.0, 4.0, 14.0])
+    look = np.array([0.0, 1.0, 0.0])
+    w, h, frames = int(512 * scale), int(288 * scale), max(2, int(24 * scale))
+    cfg = RenderConfig(width=w, height=h, max_depth=8, seed=0,
+                       lens_radius=0.35, focus_distance=12.0)
+    film = Film(w, h)
+    r = create_renderer(fast)
+    t0 = time.time()
+    r.init(film, s, Camera(eye, look - eye, w, h), cfg)
+    for _ in range(frames):
+        r.progressive_render()
+    device_sync(film.accum)
+    path = os.path.join(OUT, "texture_demo_dof.png")
+    film.save_png(path)
+    print(f"{'texture_demo_dof':24s} {fast:10s} {w}x{h} {frames}f "
+          f"{time.time() - t0:6.1f}s -> {path}", flush=True)
+
 
 if __name__ == "__main__":
     main()

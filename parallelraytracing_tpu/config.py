@@ -79,6 +79,20 @@ class RenderConfig:
     # as planned future work).
     firefly_clamp: float = 0.0
 
+    # Thin-lens depth of field (extension — every reference camera is
+    # pinhole, camera.h:104-132): aperture radius and focus distance in
+    # world units.  0 radius = pinhole, bit-identical to before.
+    lens_radius: float = 0.0
+    focus_distance: float = 10.0
+
+    @property
+    def lens(self) -> Optional[Tuple[float, float]]:
+        """(radius, focus_distance) for ops.rays raygen, or None when the
+        aperture is closed (the static pinhole fast path)."""
+        if self.lens_radius > 0.0:
+            return (self.lens_radius, self.focus_distance)
+        return None
+
     @property
     def pixel_count(self) -> int:
         return self.width * self.height

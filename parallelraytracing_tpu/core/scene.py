@@ -59,6 +59,10 @@ class ScenePreset(enum.Enum):
     RANDOM_BALLS_SMALL = "random_balls_small"
     RANDOM_BALLS_MEDIUM = "random_balls_medium"
     RANDOM_BALLS_LARGE = "random_balls_large"
+    #: extension preset (not in the reference): checker floor + material
+    #: row at staggered depths — exercises procedural textures in every
+    #: engine and reads well with --lens-radius (thin-lens DoF)
+    TEXTURE_DEMO = "texture_demo"
 
 
 @jax.tree_util.register_dataclass
@@ -101,6 +105,20 @@ class SceneData:
 
     # Sky radiance added on ray escape (cuda_megakernel/renderer.cu:159).
     sky: jax.Array  # (3,)
+
+    # --- Texture extension (None on untextured scenes, so the pytree
+    # STRUCTURE tells jit to elide every texture op for free).  The
+    # reference loads mesh texcoords but no material ever samples them
+    # (/root/reference/src/core/mesh.cpp:84-104); this activates that
+    # dormant channel.  tex codes: 0 = none, 1 = 3D checker (param =
+    # [cell scale, odd rgb]), >= 2 = image id (tex - 2) into the atlas.
+    mat_tex: Optional[jax.Array] = None        # (Nm,)  i32
+    mat_tex_param: Optional[jax.Array] = None  # (Nm,4) f32
+    tex_atlas: Optional[jax.Array] = None      # (T,TH,TW,3) f32, padded
+    tex_size: Optional[jax.Array] = None       # (T,2)  i32 true (h, w)
+    tri_uv0: Optional[jax.Array] = None        # (Nt,2) f32 (image scenes)
+    tri_uv1: Optional[jax.Array] = None
+    tri_uv2: Optional[jax.Array] = None
 
     @property
     def num_spheres(self) -> int:
@@ -148,6 +166,9 @@ class Scene:
         self._mat_rough: List[float] = []
         self._mat_ior: List[float] = []
         self._mat_emit: List[np.ndarray] = []
+        self._mat_tex: List[int] = []
+        self._mat_tex_param: List[np.ndarray] = []
+        self._textures: List[np.ndarray] = []  # (H,W,3) f32 images
 
         self._sph: List[Tuple[np.ndarray, float, int]] = []  # center, radius, mat
         self._quad: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
@@ -174,13 +195,16 @@ class Scene:
 
     # ------------------------------------------------------------ materials
     def _add_material(self, mtype: int, albedo=(0, 0, 0), rough=0.0,
-                      ior=1.0, emit=(0, 0, 0)) -> int:
+                      ior=1.0, emit=(0, 0, 0), tex=0,
+                      tex_param=(0.0, 0.0, 0.0, 0.0)) -> int:
         self._cache = None
         self._mat_type.append(mtype)
         self._mat_albedo.append(np.asarray(albedo, dtype=np.float64))
         self._mat_rough.append(float(rough))
         self._mat_ior.append(float(ior))
         self._mat_emit.append(np.asarray(emit, dtype=np.float64))
+        self._mat_tex.append(int(tex))
+        self._mat_tex_param.append(np.asarray(tex_param, dtype=np.float64))
         return len(self._mat_type) - 1
 
     def add_lambertian(self, albedo) -> int:
@@ -194,6 +218,37 @@ class Scene:
 
     def add_emissive(self, emission) -> int:
         return self._add_material(MAT_EMISSIVE, emit=emission)
+
+    # Texture extension (no reference analogue — see SceneData docstring).
+    def add_checker(self, even, odd, scale: float = 1.0) -> int:
+        """Lambertian with a 3D checker albedo: cells of world-space size
+        1/scale alternate between `even` and `odd`.  Position-based, so it
+        needs no UVs and runs in EVERY engine including the Pallas
+        kernels."""
+        odd = np.asarray(odd, dtype=np.float64)
+        return self._add_material(
+            MAT_LAMBERTIAN, albedo=even, tex=1,
+            tex_param=(float(scale), odd[0], odd[1], odd[2]))
+
+    def add_texture(self, image) -> int:
+        """Register an (H,W,3) float image; returns a texture id for
+        add_textured_lambertian."""
+        img = np.asarray(image, dtype=np.float64)
+        assert img.ndim == 3 and img.shape[2] == 3, img.shape
+        self._cache = None
+        self._textures.append(img)
+        return len(self._textures) - 1
+
+    def add_textured_lambertian(self, texture_id: int) -> int:
+        """Lambertian whose albedo is sampled (bilinear, repeat-wrapped)
+        from a registered image texture at the hit's UV.  Supported by the
+        jnp engines (megakernel/wavefront/bvh/tlas families); the Pallas
+        kernels raise at init (per-lane image gathers don't vectorize on
+        the VPU — procedural textures like add_checker are the TPU-kernel
+        path)."""
+        assert 0 <= texture_id < len(self._textures), texture_id
+        return self._add_material(MAT_LAMBERTIAN, albedo=(1.0, 1.0, 1.0),
+                                  tex=2 + texture_id)
 
     @property
     def num_materials(self) -> int:
@@ -223,7 +278,8 @@ class Scene:
         self._quad.append((center, u, v, n, material))
 
     def add_triangle(self, v0, v1, v2, n0=None, n1=None, n2=None,
-                     material: int = 0, transform: TransformSpec = None) -> None:
+                     material: int = 0, transform: TransformSpec = None,
+                     uv0=None, uv1=None, uv2=None) -> None:
         self._cache = None
         m = _resolve_transform(transform)
         inv = np.linalg.inv(m)
@@ -239,7 +295,8 @@ class Scene:
             wn0 = geo.transform_normal(inv, n0)
             wn1 = geo.transform_normal(inv, n1)
             wn2 = geo.transform_normal(inv, n2)
-        self._tri.append((w0, w1, w2, wn0, wn1, wn2, material))
+        self._tri.append((w0, w1, w2, wn0, wn1, wn2, material,
+                          uv0, uv1, uv2))
 
     def add_mesh(self, mesh, material: int,
                  transform: TransformSpec = None) -> None:
@@ -257,14 +314,20 @@ class Scene:
             nrm = nrm / np.maximum(lens, 1e-30)
         else:
             nrm = None
+        uv = (np.asarray(mesh.texcoords, dtype=np.float64)
+              if getattr(mesh, "texcoords", None) is not None
+              and len(mesh.texcoords) == len(verts) else None)
         for (a, b, c) in idx:
+            uvs = (uv[a], uv[b], uv[c]) if uv is not None else (None,) * 3
             if nrm is not None:
-                self._tri.append((w[a], w[b], w[c], nrm[a], nrm[b], nrm[c], material))
+                self._tri.append((w[a], w[b], w[c], nrm[a], nrm[b], nrm[c],
+                                  material, *uvs))
             else:
                 gn = np.cross(w[b] - w[a], w[c] - w[a])
                 ln = np.linalg.norm(gn)
                 gn = gn / ln if ln > 0 else np.array([0.0, 1.0, 0.0])
-                self._tri.append((w[a], w[b], w[c], gn, gn, gn, material))
+                self._tri.append((w[a], w[b], w[c], gn, gn, gn,
+                                  material, *uvs))
 
     def add_mesh_instances(self, mesh, material: int,
                            transforms: Sequence[TransformSpec]) -> None:
@@ -354,7 +417,7 @@ class Scene:
                             if bake_instances and self._instances else [])
         tri = tris or [(np.zeros(3), np.zeros(3), np.zeros(3),
                         np.array([0, 1.0, 0]), np.array([0, 1.0, 0]),
-                        np.array([0, 1.0, 0]), 0)]
+                        np.array([0, 1.0, 0]), 0, None, None, None)]
         tri_valid = np.array([True] * len(tris) or [False])
         tri_v0 = f32([t[0] for t in tri])
         tri_v1 = f32([t[1] for t in tri])
@@ -368,6 +431,32 @@ class Scene:
         if not self._mat_type:
             self._add_material(MAT_LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
             mats = self._mat_type
+
+        # Texture channel: populated ONLY when used, so untextured scenes
+        # keep the bare pytree structure (and jit specializes texture ops
+        # away entirely).
+        tex_kw = {}
+        if any(self._mat_tex):
+            tex_kw["mat_tex"] = jnp.asarray(self._mat_tex, dtype=jnp.int32)
+            tex_kw["mat_tex_param"] = f32(self._mat_tex_param)
+        if any(t >= 2 for t in self._mat_tex):
+            th = max(t.shape[0] for t in self._textures)
+            tw = max(t.shape[1] for t in self._textures)
+            atlas = np.zeros((len(self._textures), th, tw, 3))
+            size = np.zeros((len(self._textures), 2), np.int64)
+            for i, img in enumerate(self._textures):
+                atlas[i, :img.shape[0], :img.shape[1]] = img
+                size[i] = (img.shape[0], img.shape[1])
+            tex_kw["tex_atlas"] = f32(atlas)
+            tex_kw["tex_size"] = jnp.asarray(size, dtype=jnp.int32)
+
+            def uv_col(j):
+                return f32([np.asarray(t[j], np.float64)
+                            if len(t) > j and t[j] is not None
+                            else np.zeros(2) for t in tri])
+            tex_kw["tri_uv0"] = uv_col(7)
+            tex_kw["tri_uv1"] = uv_col(8)
+            tex_kw["tri_uv2"] = uv_col(9)
 
         data = SceneData(
             sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
@@ -385,6 +474,7 @@ class Scene:
             mat_emit=f32(self._mat_emit),
             sky=f32(self.sky_color * (self.sky_light_intensity
                                       if self.use_sky_intensity else 1.0)),
+            **tex_kw,
         )
         if bake_instances:
             self._cache = data
@@ -488,6 +578,25 @@ def _init_cornell(scene: Scene) -> None:
     scene.add_quad(10, 10, light, _t((1, 1, 1), (90, 0, 0), (0, 9, 0)))
 
 
+def _init_texture_demo(scene: Scene) -> None:
+    """Extension demo (no reference analogue): a checkered ground plane
+    with a row of lambertian/metal/dielectric spheres at staggered
+    depths — the canonical showcase for Scene.add_checker and thin-lens
+    depth of field (RenderConfig.lens_radius)."""
+    floor = scene.add_checker((0.85, 0.85, 0.85), (0.12, 0.15, 0.2),
+                              scale=0.8)
+    scene.add_quad(60, 60, floor, None)
+    mirror = scene.add_metal((0.9, 0.9, 0.95), 0.02)
+    glass = scene.add_dielectric(1.5)
+    for i, z in enumerate((-6.0, -2.0, 2.0, 6.0)):
+        tint = scene.add_lambertian((0.8, 0.25 + 0.15 * i, 0.2))
+        scene.add_sphere(1.0, tint, ((1, 1, 1), (0, 0, 0), (-2.5, 1.0, z)))
+        scene.add_sphere(1.0, mirror if i % 2 else glass,
+                         ((1, 1, 1), (0, 0, 0), (2.5, 1.0, z)))
+    light = scene.add_emissive((6, 6, 6))
+    scene.add_sphere(2.0, light, ((1, 1, 1), (0, 0, 0), (0.0, 12.0, 0.0)))
+
+
 _PRESET_BUILDERS = {
     ScenePreset.DEFAULT: _init_default,
     ScenePreset.LIGHT_TEST: _init_light_test,
@@ -496,4 +605,5 @@ _PRESET_BUILDERS = {
     ScenePreset.RANDOM_BALLS_SMALL: lambda s: _init_random_balls(s, 100),
     ScenePreset.RANDOM_BALLS_MEDIUM: lambda s: _init_random_balls(s, 400),
     ScenePreset.RANDOM_BALLS_LARGE: lambda s: _init_random_balls(s, 800),
+    ScenePreset.TEXTURE_DEMO: _init_texture_demo,
 }

@@ -79,7 +79,7 @@ class BVHRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter)
+                          cfg.jitter, cfg.lens)
             if self.animate is not None:
                 rad = self._trace_animated(
                     self._scene_data, self._bvh, o, d, k_path,

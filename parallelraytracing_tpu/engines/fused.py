@@ -38,14 +38,15 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "jitter"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "jitter", "lens"))
 def raygen_ids(cam_params, ids, jseed, width: int, height: int,
-               jitter: bool):
+               jitter: bool, lens=None):
     """Jitted id-based raygen (kept separate from the bounce-loop jit —
     see engines/megakernel.py on the compile-time gotcha)."""
     from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
     return generate_camera_rays_ids(cam_params, width, height, ids, None,
-                                    jitter, pix_seed=jseed)
+                                    jitter, pix_seed=jseed, lens=lens)
 
 
 def _part1by1(v: np.ndarray) -> np.ndarray:
@@ -163,7 +164,7 @@ class FusedRenderer(Renderer):
             # sharded == wavefront_fused bit-for-bit (jitter on or off).
             jseed, s0 = frame_stream_seeds(skey)
             o, d = raygen_ids(self._cam_params, self._ids, jseed,
-                              cfg.width, cfg.height, cfg.jitter)
+                              cfg.width, cfg.height, cfg.jitter, cfg.lens)
             pix = self._ids.astype(jnp.float32)
             seed = s0[None]
             rad = trace_tables(self._tables, o, d, pix, seed, self.rows,

@@ -25,10 +25,11 @@ from parallelraytracing_tpu.engines.tracer import trace_paths_tiled
 from parallelraytracing_tpu.ops.rays import generate_camera_rays
 
 
-@partial(jax.jit, static_argnames=("width", "height", "jitter"))
+@partial(jax.jit, static_argnames=("width", "height", "jitter", "lens"))
 def raygen(cam_params: jax.Array, key: jax.Array, width: int, height: int,
-           jitter: bool):
-    return generate_camera_rays(cam_params, width, height, key, jitter)
+           jitter: bool, lens=None):
+    return generate_camera_rays(cam_params, width, height, key, jitter,
+                                lens=lens)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -48,7 +49,7 @@ def render_frame(scene: SceneData, cam_params: jax.Array, key: jax.Array,
         skey = jax.random.fold_in(key, s)
         k_jit, k_path = jax.random.split(skey)
         o, d = generate_camera_rays(cam_params, cfg.width, cfg.height,
-                                    k_jit, cfg.jitter)
+                                    k_jit, cfg.jitter, lens=cfg.lens)
         return acc + trace_paths_tiled(scene, o, d, k_path, cfg)
 
     acc = jnp.zeros((cfg.pixel_count, 3), jnp.float32)
@@ -77,7 +78,7 @@ class MegakernelRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter)
+                          cfg.jitter, cfg.lens)
             rad = trace(self._scene_data, o, d, k_path, cfg,
                         self._lights)
             acc = rad if acc is None else acc + rad

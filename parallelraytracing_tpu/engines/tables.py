@@ -63,6 +63,10 @@ class PallasSceneTables:
     #: linear-scan kind took front-to-back ordering) — when False,
     #: camera moves never require a repack (SAH trees are static)
     eye_dependent: bool = False
+    #: static checker-material list ((mat id, cell scale, odd rgb), ...)
+    #: — Scene.add_checker; empty on untextured scenes so the kernels
+    #: compile the texture path away entirely
+    checker: Tuple = ()
 
 
 jax.tree_util.register_dataclass(
@@ -71,7 +75,7 @@ jax.tree_util.register_dataclass(
                  "mats", "lights", "tri_cold", "tri_hot", "inst",
                  "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
-                 "tail_roots", "eye_dependent"],
+                 "tail_roots", "eye_dependent", "checker"],
 )
 
 
@@ -100,6 +104,13 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
     from parallelraytracing_tpu.ops.pallas_trace import (
         pack_instance_tables, pack_lights_table, pack_scene_tables,
         plan_table, smem_padded_bytes, to_vmem_rows)
+
+    if any(t >= 2 for t in getattr(scene, "_mat_tex", [])):
+        raise NotImplementedError(
+            "image textures are jnp-engine only (megakernel/wavefront/"
+            "bvh/tlas): per-lane image gathers don't vectorize on the "
+            "Pallas VPU lanes.  Procedural textures (Scene.add_checker) "
+            "run in every engine.")
 
     if getattr(scene, "instances", None):
         base = scene.build(bake_instances=False)
@@ -205,6 +216,13 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
             tuple(float(1.0 / x) for x in ext)),
         tail_roots=tuple(int(x) for x in tail_roots),
         eye_dependent=bool(eye_used),
+        checker=tuple(
+            (float(i), float(pr[0]), float(pr[1]), float(pr[2]),
+             float(pr[3]))
+            for i, (tx, pr) in enumerate(zip(
+                getattr(scene, "_mat_tex", []),
+                getattr(scene, "_mat_tex_param", [])))
+            if tx == 1),
     )
     return tables, scene_data
 
@@ -223,4 +241,4 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         itri_vmem=t.itri_vmem, sub_rows=sub_rows,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
-        tri_hot=t.tri_hot)
+        tri_hot=t.tri_hot, checker=t.checker)

@@ -52,6 +52,12 @@ def combined_intersect(scene: SceneData, bvh: BVHData, tl: TwoLevelBVH,
                                                    b1, b2)
     better = t2 < jnp.where(base.hit, base.t, _BIG)
     bb = better[:, None]
+    # Image-textured scenes carry a uv channel; instanced meshes don't
+    # store per-vertex uvs, so instanced hits sample the texture origin
+    # (the engine refuses image textures + instances at init — see
+    # TlasRenderer._post_init).
+    uv = (None if base.uv is None
+          else jnp.where(bb, 0.0, base.uv))
     return HitRecord(
         t=jnp.where(better, t2, base.t),
         hit=base.hit | better,
@@ -61,6 +67,7 @@ def combined_intersect(scene: SceneData, bvh: BVHData, tl: TwoLevelBVH,
         mat=jnp.where(better, mat2, base.mat),
         kind=jnp.where(better, jnp.int32(KIND_TRIANGLE), base.kind),
         idx=jnp.where(better, tri, base.idx),
+        uv=uv,
     )
 
 
@@ -93,6 +100,12 @@ class TLASRefRenderer(Renderer):
 
     def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.nee import extract_lights
+        if (self._scene.instances
+                and any(t >= 2 for t in self._scene._mat_tex)):
+            raise NotImplementedError(
+                "image textures on instanced-mesh scenes: instances do "
+                "not carry per-vertex uvs (bake the mesh with add_mesh, "
+                "or use add_checker — position-based, instance-safe)")
         base, tl = self._scene.build_two_level()
         self._scene_data = jax.device_put(base)  # base EXCLUDES instances
         self._bvh = jax.device_put(build_bvh(base))
@@ -114,7 +127,7 @@ class TLASRefRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter)
+                          cfg.jitter, cfg.lens)
             if self._tlas is None:
                 from parallelraytracing_tpu.engines.bvh import bvh_trace
                 rad = bvh_trace(self._scene_data, self._bvh, o, d, k_path,

@@ -97,7 +97,8 @@ def trace_paths(
             cand = lit & is_lam & lvalid & (cos_s > 0.0)
             sh = intersect(scene, hit.pos, wi)
             vis = sh.hit & (sh.kind == lkind) & (sh.idx == lidx)
-            albedo = scene.mat_albedo[hit.mat]
+            from parallelraytracing_tpu.ops.materials import surface_albedo
+            albedo = surface_albedo(scene, hit)
             w = (cos_s / (jnp.pi * jnp.maximum(pdf, 1e-12)))[:, None]
             contrib = throughput * albedo * w * lemit
             radiance = radiance + jnp.where(

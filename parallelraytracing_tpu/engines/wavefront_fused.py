@@ -125,7 +125,7 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
             t.sph_cl, t.quad_cl, t.tri_cl, t.mats, t.lights, scalars,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
             t.vmem_kinds, t.nee, t.inst, t.itri_vmem, t.tri_cold,
-            t.itri_cold)
+            t.itri_cold, checker=t.checker)
         state = list(state)
         alive_p = alive
 
@@ -196,7 +196,8 @@ def count_frame_rays(tables, o, d, pix0, seed, rows: int,
             t.sph_cl, t.quad_cl, t.tri_cl, t.mats, t.lights, scalars,
             rows, 1, t_min, t_max, t.sky, interpret, rr_depth,
             t.vmem_kinds, t.nee, t.inst, t.itri_vmem,
-            tri_cold=t.tri_cold, itri_cold=t.itri_cold)
+            tri_cold=t.tri_cold, itri_cold=t.itri_cold,
+            checker=t.checker)
         state = list(state)
         alive_p = alive
         # Compact survivors to the front (in_q masks the first `count`
@@ -270,7 +271,7 @@ class WavefrontFusedRenderer(Renderer):
             # ride the queue).
             jseed, s0 = frame_stream_seeds(skey)
             o, d = raygen_ids(self._cam_params, self._perm, jseed,
-                              cfg.width, cfg.height, cfg.jitter)
+                              cfg.width, cfg.height, cfg.jitter, cfg.lens)
             pix0 = self._perm.astype(jnp.float32)
             seed = s0[None]
             rad = segmented_trace(

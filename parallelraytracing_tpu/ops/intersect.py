@@ -67,6 +67,9 @@ class HitRecord:
     mat: jax.Array     # (R,) i32 material id (0 on miss)
     kind: jax.Array    # (R,) i32 primitive kind (KIND_*)
     idx: jax.Array     # (R,) i32 index within its kind
+    # Surface UV — populated by resolve_hit only on image-textured scenes
+    # (None otherwise, so untextured pytrees keep their shape).
+    uv: "jax.Array | None" = None
 
 
 def _pad_chunks(arrs, valid, chunk):
@@ -307,6 +310,32 @@ def resolve_hit(scene: SceneData, o, d, t, kind, idx, front,
     mat = jnp.where(is_s, s_mat, jnp.where(is_q, q_mat, t_mat))
     front = jnp.where(is_t, ~tri_back, front)
 
+    uv = None
+    if scene.tex_atlas is not None:
+        # Surface UVs, computed only on image-textured scenes.
+        # Sphere: equirectangular map of the OUTWARD unit normal.
+        out_n = pos - s_center
+        out_n = out_n / jnp.maximum(
+            jnp.linalg.norm(out_n, axis=1, keepdims=True), 1e-30)
+        s_u = 0.5 + jnp.arctan2(out_n[:, 2], out_n[:, 0]) / (2.0 * jnp.pi)
+        s_v = 0.5 - jnp.arcsin(jnp.clip(out_n[:, 1], -1.0, 1.0)) / jnp.pi
+        # Quad: half-extent coordinates (a, b) in [-1,1] -> [0,1].
+        qu = scene.quad_u[q_idx]
+        qv = scene.quad_v[q_idx]
+        qc = scene.quad_center[q_idx]
+        rel = pos - qc
+        q_u = 0.5 + 0.5 * (jnp.sum(rel * qu, axis=1)
+                           / jnp.maximum(jnp.sum(qu * qu, axis=1), 1e-30))
+        q_v = 0.5 + 0.5 * (jnp.sum(rel * qv, axis=1)
+                           / jnp.maximum(jnp.sum(qv * qv, axis=1), 1e-30))
+        # Triangle: barycentric blend of the vertex texcoords.
+        t_uv = (b0[:, None] * scene.tri_uv0[t_idx]
+                + b1[:, None] * scene.tri_uv1[t_idx]
+                + b2[:, None] * scene.tri_uv2[t_idx])
+        uv = jnp.where(is_s[:, None], jnp.stack([s_u, s_v], axis=1),
+                       jnp.where(is_q[:, None],
+                                 jnp.stack([q_u, q_v], axis=1), t_uv))
+
     return HitRecord(
         t=jnp.where(hit, t, jnp.inf),
         hit=hit,
@@ -316,4 +345,5 @@ def resolve_hit(scene: SceneData, o, d, t, kind, idx, front,
         mat=jnp.where(hit, mat, 0).astype(jnp.int32),
         kind=kind,
         idx=idx,
+        uv=uv,
     )

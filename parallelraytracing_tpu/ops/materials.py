@@ -68,6 +68,19 @@ def random_unit_vectors(key: jax.Array, n: int) -> jax.Array:
     return _normalize(g)
 
 
+def surface_albedo(scene: SceneData, hit: HitRecord) -> jax.Array:
+    """(R,3) albedo at the hit: the material table color, textured where
+    the material carries a texture (ops/textures.py — checker from the
+    world-space position, image from HitRecord.uv).  The single albedo
+    source for the BSDF scatter AND the NEE direct term, so textures
+    cannot drift between the two estimators."""
+    albedo = scene.mat_albedo[hit.mat]
+    if scene.mat_tex is not None:
+        from parallelraytracing_tpu.ops.textures import textured_albedo
+        albedo = textured_albedo(scene, hit, albedo)
+    return albedo
+
+
 def emitted(scene: SceneData, mat: jax.Array) -> jax.Array:
     """MaterialHandle::Emit (material.h:139-148): emissive color or zero."""
     mtype = scene.mat_type[mat]
@@ -89,7 +102,7 @@ def scatter(
     origin offsets, like the reference."""
     n = hit.normal
     mtype = scene.mat_type[hit.mat]
-    albedo = scene.mat_albedo[hit.mat]
+    albedo = surface_albedo(scene, hit)
     rough = scene.mat_rough[hit.mat]
     ior = scene.mat_ior[hit.mat]
 

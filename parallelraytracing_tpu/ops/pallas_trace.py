@@ -1231,7 +1231,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       stats_ref=None, tri_cold_get=None,
                       itri_cold_get=None,
                       tree_starts=(0, 0, 0),
-                      tri_hot_get=None, tri_hot_n: int = 0):
+                      tri_hot_get=None, tri_hot_n: int = 0,
+                      checker: tuple = ()):
     # Partial SMEM hot prefix (plan_table's large case) requires the
     # hot/cold split: the SMEM body reads ONLY hot lanes through it.
     assert tri_hot_get is None or tri_cold_get is not None
@@ -1254,10 +1255,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
     def mat_of(mid):
         """Material constants via one SMEM indirection (mid is the f32
         material id column; ids are small integers, exact in f32).
-        Returns (mtype, c0, c1, c2, extra) — the compressed record
-        (c = albedo or emission; extra = rough | ior | 1)."""
+        Returns (mtype, c0, c1, c2, extra, mid) — the compressed
+        record (c = albedo or emission; extra = rough | ior | 1) plus the
+        raw id (folded into the carry only on checker-textured scenes)."""
         mi = mid.astype(jnp.int32)
-        return tuple(mats_ref[k, mi] for k in range(5))
+        return tuple(mats_ref[k, mi] for k in range(5)) + (mid,)
 
     def bounce_step(rng_d, state, depth=None):
         """state = (ox,oy,oz, dx,dy,dz, tr,tg,tb, rr,rg,rb, alive_f32)."""
@@ -1296,21 +1298,28 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             carry0 = (best_t, f0, f0, f0, f0,
                       f0, f0, f0, f0,
                       jnp.full(shape, float(1 << 24), jnp.float32))  # best_ord
+            if checker:
+                # Winning material id, appended LAST (consumers index
+                # best_ord as carry[9]) — carried only on checker scenes.
+                carry0 = carry0 + (f0,)
 
             def fold(carry, t, ok, flags, gxp, gyp, gzp, mat, ordv):
                 (best_t, gx, gy, gz, fl,
-                 m_c0, m_c1, m_c2, m_extra, best_ord) = carry
+                 m_c0, m_c1, m_c2, m_extra, best_ord) = carry[:10]
                 # strict < with lowest-original-ordinal tie-break: primitives
                 # are Morton-sorted, so visit order no longer matches the
                 # reference's first-wins list order — the carried ordinal
                 # restores it (coplanar Cornell light/walls).
                 upd = ok & ((t < best_t) | ((t == best_t) & (ordv < best_ord)))
                 sel = lambda a, b: jnp.where(upd, a, b)
-                return (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
-                        sel(gzp, gz), sel(flags, fl),
-                        sel(mat[1], m_c0), sel(mat[2], m_c1),
-                        sel(mat[3], m_c2), sel(mat[4], m_extra),
-                        sel(ordv, best_ord))
+                out = (sel(t, best_t), sel(gxp, gx), sel(gyp, gy),
+                       sel(gzp, gz), sel(flags, fl),
+                       sel(mat[1], m_c0), sel(mat[2], m_c1),
+                       sel(mat[3], m_c2), sel(mat[4], m_extra),
+                       sel(ordv, best_ord))
+                if checker:
+                    out = out + (sel(mat[5], carry[10]),)
+                return out
 
             def make_slab(sox, soy, soz, six, siy, siz):
                 """Scalar-AABB-vs-tile slab test for a given ray set: does
@@ -1779,7 +1788,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         carry = closest_hit(ox, oy, oz, dx, dy, dz, alive_b)
 
         (best_t, gx, gy, gz, flags,
-         m_c0, m_c1, m_c2, m_extra, _) = carry
+         m_c0, m_c1, m_c2, m_extra, _) = carry[:10]
 
         hit = best_t < BIG
 
@@ -1808,6 +1817,25 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         nx = nrx * sgn_n
         ny = nry * sgn_n
         nz = nrz * sgn_n
+
+        if checker:
+            # Procedural 3D checker albedo (Scene.add_checker): the
+            # world-cell parity of the hit point picks the odd color.
+            # Unrolled over the STATIC checker-material list; substituted
+            # here — before the emission / NEE / attenuation consumers —
+            # so every albedo use sees the textured value.  Checker mats
+            # are Lambertian, so emissive m_c0 reads are never masked in.
+            m_id = carry[10]
+            coff = 0.3183098861  # lattice offset — ops/textures.py
+            for cm, cs, c2r, c2g, c2b in checker:
+                cell = (jnp.floor(px * cs + coff)
+                        + jnp.floor(py * cs + coff)
+                        + jnp.floor(pz * cs + coff))
+                odd = cell - 2.0 * jnp.floor(cell * 0.5)  # mod 2, exact
+                selc = (m_id == cm) & (odd > 0.5)
+                m_c0 = jnp.where(selc, c2r, m_c0)
+                m_c1 = jnp.where(selc, c2g, m_c1)
+                m_c2 = jnp.where(selc, c2b, m_c2)
 
         # miss: sky * throughput, kill (cuda_megakernel/renderer.cu:98-101)
         miss = alive_b & ~hit
@@ -2033,7 +2061,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sub_rows=0, collect_stats=False,
                        tri_split=False, itri_split=False,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
-                       tri_part=False):
+                       tri_part=False, checker: tuple = ()):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -2092,7 +2120,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
                 stack_ref, stats_scr, tri_cold_get, itri_cold_get,
                 tree_starts=starts, tri_hot_get=tri_hot_get,
-                tri_hot_n=tri_hot_n)
+                tri_hot_n=tri_hot_n, checker=checker)
 
         step = mk_step((0, 0, 0))
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
@@ -2180,7 +2208,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
-                     "tail_roots", "tail_depth"))
+                     "tail_roots", "tail_depth", "checker"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -2194,7 +2222,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sub_rows: int = 0, collect_stats: bool = False,
                  tri_cold=None, itri_cold=None,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
-                 tri_hot=None,
+                 tri_hot=None, checker: tuple = (),
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -2230,7 +2258,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tri_cold is not None,
                                 itri_cold is not None,
                                 tail_roots, tail_depth,
-                                tri_part=tri_hot is not None)
+                                tri_part=tri_hot is not None,
+                                checker=checker)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2298,7 +2327,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          n_tri, sky, rr_depth=0,
                          vmem_kinds=(False, False, False),
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
-                         tri_split=False, itri_split=False):
+                         tri_split=False, itri_split=False,
+                         checker: tuple = ()):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -2349,7 +2379,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             make_reader(tri_ref, vmem_kinds[2]),
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
             lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
-            stack_ref, None, tri_cold_get, itri_cold_get)
+            stack_ref, None, tri_cold_get, itri_cold_get,
+            checker=checker)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -2386,7 +2417,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    interpret: bool = False, rr_depth: int = 0,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                    nee: bool = False, inst=None, itri_vmem: bool = False,
-                   tri_cold=None, itri_cold=None):
+                   tri_cold=None, itri_cold=None, checker: tuple = ()):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -2424,7 +2455,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   sky, rr_depth, vmem_kinds, nee, n_lights,
                                   n_inst, itri_vmem,
                                   tri_cold is not None,
-                                  itri_cold is not None)
+                                  itri_cold is not None,
+                                  checker=checker)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

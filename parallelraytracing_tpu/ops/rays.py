@@ -29,6 +29,7 @@ def generate_camera_rays(
     height: int,
     key: jax.Array | None = None,
     jitter: bool = True,
+    lens=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (origins, directions), each (H*W, 3) f32, row-major like the
     reference film (pixel index = y*W + x, film.h:48-49).
@@ -68,7 +69,16 @@ def generate_camera_rays(
 
     o = jnp.broadcast_to(pos, d.shape)
     n = height * width
-    return o.reshape(n, 3), d.reshape(n, 3)
+    o, d = o.reshape(n, 3), d.reshape(n, 3)
+    if lens is not None and lens[0] > 0.0:
+        if key is not None:
+            u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2),
+                                   dtype=jnp.float32)
+            u1, u2 = u[:, 0], u[:, 1]
+        else:  # deterministic callers: sample the lens center (pinhole)
+            u1 = u2 = jnp.zeros((n,), jnp.float32)
+        o, d = apply_thin_lens(o, d, cam_params, lens, u1, u2)
+    return o, d
 
 
 def generate_camera_rays_flat(
@@ -79,13 +89,14 @@ def generate_camera_rays_flat(
     count: int,
     key: jax.Array | None = None,
     jitter: bool = True,
+    lens=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rays for the flat pixel-index range [start, start+count) — the
     primitive for sharded/tiled raygen where each device or tile generates
     only its own block (indices past H*W produce harmless dummy rays)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0] + start
     return generate_camera_rays_ids(cam_params, width, height, idx, key,
-                                    jitter)
+                                    jitter, lens=lens)
 
 
 def frame_stream_seeds(skey: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -104,6 +115,17 @@ def frame_stream_seeds(skey: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jseed, seed
 
 
+def _pixel_u01(idx: jax.Array, seed: jax.Array, salt: int) -> jax.Array:
+    """[0,1) uniform from a stateless PCG hash of (pixel id, seed, salt) —
+    the raygen-side twin of the in-kernel pixel-keyed streams.  Salts in
+    use: 101/102 = sub-pixel jitter, 103/104 = thin-lens aperture."""
+    from parallelraytracing_tpu.ops.pallas_trace import _pcg_hash
+    base = idx.astype(jnp.uint32) ^ seed.astype(jnp.uint32)
+    bits = _pcg_hash(base ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF))
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(1.0 / (1 << 24))
+
+
 def pixel_keyed_jitter(idx: jax.Array, seed: jax.Array):
     """(jx, jy) in [0,1) from a stateless PCG hash of (pixel id, seed).
 
@@ -113,15 +135,36 @@ def pixel_keyed_jitter(idx: jax.Array, seed: jax.Array):
     for a pixel regardless of which device traces it or how the shard
     blocks are laid out (the same layout-invariance contract the
     in-kernel pixel-keyed path RNG provides)."""
-    from parallelraytracing_tpu.ops.pallas_trace import _pcg_hash
-    base = idx.astype(jnp.uint32) ^ seed.astype(jnp.uint32)
-    scale = jnp.float32(1.0 / (1 << 24))
+    return _pixel_u01(idx, seed, 101), _pixel_u01(idx, seed, 102)
 
-    def u01(salt):
-        bits = _pcg_hash(base ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF))
-        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * scale
 
-    return u01(101), u01(102)
+def apply_thin_lens(o, d, cam_params, lens, u1, u2):
+    """Thin-lens (defocus blur) transform of pinhole rays — an extension
+    over the reference, whose cameras are all pinhole (camera.h:104-132).
+
+    lens = (aperture_radius, focus_distance) in world units, static.  Each
+    pinhole ray (o, d) is re-aimed at the point where it crosses the focal
+    plane (perpendicular to `front` at focus_distance) from a new origin
+    sampled on the lens disk; points ON the focal plane therefore stay
+    sharp while everything else blurs in proportion to its defocus.
+    (u1, u2) are per-ray uniforms in [0,1); o (R,3) or broadcastable,
+    d (R,3) unit."""
+    radius, fdist = lens
+    right = cam_params[3:6]
+    up = cam_params[6:9]
+    front = cam_params[9:12]
+    # Polar disk sample: area-uniform in r = R*sqrt(u1).
+    r = radius * jnp.sqrt(u1)
+    theta = (2.0 * math.pi) * u2
+    lx = r * jnp.cos(theta)
+    ly = r * jnp.sin(theta)
+    # Focal point of the pinhole ray (d is unit; d.front > 0 for camera
+    # rays, so the plane crossing is always ahead).
+    t_f = fdist / jnp.maximum(
+        d[:, 0] * front[0] + d[:, 1] * front[1] + d[:, 2] * front[2], 1e-6)
+    p = o + d * t_f[:, None]
+    o2 = o + lx[:, None] * right + ly[:, None] * up
+    return o2, _norm(p - o2)
 
 
 def generate_camera_rays_ids(
@@ -132,12 +175,18 @@ def generate_camera_rays_ids(
     key: jax.Array | None = None,
     jitter: bool = True,
     pix_seed: jax.Array | None = None,
+    lens=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rays for an EXPLICIT flat pixel-id vector — the raygen primitive
     for permuted (e.g. Morton-ordered) shard blocks, where a device's
     pixels are not a contiguous range (ids past H*W produce harmless
     dummy rays).  With pix_seed (a u32 scalar), jitter is pixel-keyed
-    (pixel_keyed_jitter) instead of threefry-block-keyed."""
+    (pixel_keyed_jitter) instead of threefry-block-keyed.
+
+    lens = (aperture_radius, focus_distance) enables thin-lens defocus
+    blur (apply_thin_lens); pixel-keyed callers draw the aperture sample
+    from salts 103/104 so the blur — like the jitter — is invariant to
+    shard layout and ray order."""
     count = idx.shape[0]
     pos = cam_params[0:3]
     right = cam_params[3:6]
@@ -167,4 +216,15 @@ def generate_camera_rays_ids(
     d = (dx[:, None] * right + dy[:, None] * up + dz[:, None] * (-front))
     d = _norm(d)
     o = jnp.broadcast_to(pos, d.shape)
+    if lens is not None and lens[0] > 0.0:
+        if pix_seed is not None:
+            u1 = _pixel_u01(idx, pix_seed, 103)
+            u2 = _pixel_u01(idx, pix_seed, 104)
+        elif key is not None:
+            u = jax.random.uniform(jax.random.fold_in(key, 1), (count, 2),
+                                   dtype=jnp.float32)
+            u1, u2 = u[:, 0], u[:, 1]
+        else:
+            u1 = u2 = jnp.zeros((count,), jnp.float32)
+        o, d = apply_thin_lens(o, d, cam_params, lens, u1, u2)
     return o, d

@@ -81,7 +81,7 @@ def render_frame_sharded(
             k_jit, k_path = jax.random.split(skey)
             o, d = generate_camera_rays_flat(
                 cam_rep, cfg.width, cfg.height, start, blk,
-                k_jit, cfg.jitter)
+                k_jit, cfg.jitter, lens=cfg.lens)
             return acc + trace_paths_tiled(scene_rep, o, d, k_path, cfg)
 
         acc = jnp.zeros((blk, 3), jnp.float32)
@@ -174,7 +174,7 @@ def render_frame_sharded_fused(
         jseed = (jseed0 + spp_i * sstep).astype(jnp.uint32)
         o, d = generate_camera_rays_ids(
             cam, cfg.width, cfg.height, ids, None, cfg.jitter,
-            pix_seed=jseed)
+            pix_seed=jseed, lens=cfg.lens)
         # Global pixel ids key the in-kernel RNG, so the image is
         # invariant to the px-shard layout.
         pix = ids.astype(jnp.float32)
