@@ -27,7 +27,9 @@ def build_argparser() -> argparse.ArgumentParser:
         description="TPU-native progressive path tracer")
     p.add_argument("--scene", default="random_balls_large",
                    help="preset name (default, light_test, material_test, "
-                        "cornell, random_balls_{small,medium,large})")
+                        "cornell, random_balls_{small,medium,large}, or "
+                        "the extension demo texture_demo — checkered "
+                        "floor, pairs well with --lens-radius)")
     p.add_argument("--ply", default=None,
                    help="render a PLY mesh instead of a preset")
     p.add_argument("--engine", default="auto",
@@ -50,10 +52,23 @@ def build_argparser() -> argparse.ArgumentParser:
                         "directly at diffuse hits (megakernel/bvh jnp "
                         "engines and in-kernel in fused/wavefront_fused; "
                         "much lower variance on emissive-lit scenes)")
+    p.add_argument("--lens-radius", type=float, default=0.0,
+                   help="thin-lens aperture radius in world units "
+                        "(0 = pinhole, the reference behavior); enables "
+                        "defocus blur in every engine")
+    p.add_argument("--focus-distance", type=float, default=10.0,
+                   help="focal-plane distance along the view direction "
+                        "(with --lens-radius > 0)")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
     p.add_argument("--look-at", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
+    p.add_argument("--denoise", type=int, default=0, metavar="N",
+                   help="apply N iterations of the edge-aware a-trous "
+                        "denoiser before the PNG encode (SVGF-style "
+                        "guides from a one-bounce visibility pass; "
+                        "postfx/denoise.py — an extension, the reference "
+                        "displays raw MC accumulation)")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=2.2)
     p.add_argument("--out", default="render.png")
@@ -95,7 +110,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth, samples_per_frame=args.spp,
                        jitter=not args.no_jitter, seed=args.seed,
-                       nee=args.nee)
+                       nee=args.nee, lens_radius=args.lens_radius,
+                       focus_distance=args.focus_distance)
 
     if args.ply:
         from parallelraytracing_tpu.core.mesh import load_ply
@@ -138,7 +154,10 @@ def main(argv=None) -> int:
         # interpreter is slow off-TPU).
         on_tpu = jax.devices()[0].platform == "tpu"
         tri_heavy = scene.num_primitives > 0 and len(scene._tri) > 512
-        if on_tpu:
+        # Image-textured scenes route to the jnp engines (the Pallas
+        # kernels refuse them loudly — per-lane gathers; checker is fine).
+        has_img_tex = any(t >= 2 for t in scene._mat_tex)
+        if on_tpu and not has_img_tex:
             args.engine = "wavefront_fused" if tri_heavy else "fused"
         else:
             args.engine = "bvh" if tri_heavy else "megakernel"
@@ -167,8 +186,16 @@ def main(argv=None) -> int:
           f"{film.sample_count} samples accumulated)")
 
     with timer.stage("tonemap"):
-        film.save_png(args.out, args.exposure, args.gamma)
-    print(f"wrote {args.out}")
+        if args.denoise > 0:
+            from parallelraytracing_tpu.postfx import save_denoised_png
+            save_denoised_png(args.out, film, scene.build(),
+                              jax.numpy.asarray(cam.ray_params()), cfg,
+                              iterations=args.denoise,
+                              exposure=args.exposure, gamma=args.gamma)
+        else:
+            film.save_png(args.out, args.exposure, args.gamma)
+    print(f"wrote {args.out}"
+          + (f" (denoised x{args.denoise})" if args.denoise else ""))
 
     if args.checkpoint:
         film.save_checkpoint(args.checkpoint,
