@@ -45,6 +45,7 @@ _PAGE = """<!DOCTYPE html>
 <div id="panel">
  <h3>parallelraytracing_tpu</h3>
  <div id="engines"></div>
+ <label><input type="checkbox" id="dn"/> denoise (a-trous x4)</label>
  <hr/>
  <div class="stat">frame: <span id="frame">0</span></div>
  <div class="stat">samples: <span id="samples">0</span></div>
@@ -72,6 +73,9 @@ window.onmousemove = e => {
   const kind = e.shiftKey ? 'translate' : 'rotate';
   fetch('/control', {method:'POST', body: JSON.stringify({kind, dx, dy})});
 };
+document.getElementById('dn').onchange = e =>
+  fetch('/control', {method:'POST',
+    body: JSON.stringify({kind:'denoise', on: e.target.checked})});
 img.onwheel = e => {
   e.preventDefault();
   fetch('/control', {method:'POST',
@@ -184,6 +188,10 @@ class ViewerState:
         self.lock = threading.Lock()
         self.camera_dirty = False
         self.switch_to = None
+        #: live postfx toggle (the a-trous denoiser over the HDR mean;
+        #: guides rebuilt per frame from the current camera)
+        self.denoise = False
+        self._scene_data = None  # baked lazily on first toggle
         self.render_ms = 0.0
         self.fps = 0.0
         self.frame = 0
@@ -217,6 +225,8 @@ class ViewerState:
                 self.camera.zoom(-0.01 * msg.get("dy", 0))
             elif kind == "engine" and msg.get("name") in self.engines:
                 self.switch_to = msg["name"]
+            elif kind == "denoise":
+                self.denoise = bool(msg.get("on"))
 
     # -------------------------------------------- encoder (its own thread)
     def _encode_loop(self) -> None:
@@ -256,6 +266,24 @@ class ViewerState:
         self.film.clear()
         self.renderer.reset_progressive()
 
+    def _denoised_display(self):
+        """Tonemapped u8 frame through the a-trous denoiser (postfx) —
+        same Reinhard+gamma transform as Film.display_numpy."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from parallelraytracing_tpu.postfx import denoise_film
+        if self._scene_data is None:
+            self._scene_data = self.scene.build()
+        hdr = denoise_film(self.film, self._scene_data,
+                           jnp.asarray(self.camera.ray_params()), self.cfg,
+                           iterations=4)
+        x = hdr / (1.0 + hdr)
+        x = jnp.power(jnp.maximum(x, 0.0), 1.0 / 2.2)
+        rgb = (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+        return np.asarray(jnp.concatenate([rgb, alpha], axis=-1))
+
     # ---------------------------------------------------- frame loop (main)
     def run(self) -> None:
         from parallelraytracing_tpu.utils.sync import device_sync
@@ -283,7 +311,10 @@ class ViewerState:
             self.renderer.progressive_render()
             device_sync(self.film.accum)
             t1 = time.perf_counter()
-            display = self.film.display_numpy()      # tonemap + fetch
+            if self.denoise:
+                display = self._denoised_display()
+            else:
+                display = self.film.display_numpy()  # tonemap + fetch
             t2 = time.perf_counter()
 
             # hand off to the encoder thread (never blocks the loop)
@@ -361,6 +392,11 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--depth", type=int, default=10)
+    p.add_argument("--lens-radius", type=float, default=0.0,
+                   help="thin-lens aperture (static per session: lens "
+                        "params are jit-static, so a live slider would "
+                        "recompile per step)")
+    p.add_argument("--focus-distance", type=float, default=10.0)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -373,7 +409,9 @@ def main(argv=None) -> int:
     from parallelraytracing_tpu.core.camera import default_camera
 
     cfg = RenderConfig(width=args.width, height=args.height,
-                       max_depth=args.depth, seed=0)
+                       max_depth=args.depth, seed=0,
+                       lens_radius=args.lens_radius,
+                       focus_distance=args.focus_distance)
     scene = Scene(ScenePreset(args.scene))
     cam = default_camera(args.width, args.height)
     state = ViewerState(scene, cam, cfg, args.engine)

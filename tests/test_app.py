@@ -84,3 +84,26 @@ def test_viewer_engine_cache_reuses_initialized_renderers():
     assert state.renderer is wf           # cached too
     state.renderer.progressive_render()   # still renders after reuse
     assert state.film.sample_count == 1
+
+
+def test_viewer_denoise_toggle_produces_frames():
+    """The live a-trous toggle: denoised display has the same shape/dtype
+    as the raw path, differs from it on a noisy accumulation, and the
+    toggle round-trips through control()."""
+    from parallelraytracing_tpu import RenderConfig, Scene, ScenePreset
+    from parallelraytracing_tpu.core.camera import default_camera
+    from parallelraytracing_tpu.viewer.app import ViewerState
+
+    cfg = RenderConfig(width=16, height=8, max_depth=2, seed=0,
+                       intersect_chunk=8, ray_tile=1 << 10)
+    state = ViewerState(Scene(ScenePreset.MATERIAL_TEST),
+                        default_camera(16, 8), cfg, "megakernel")
+    state.control({"kind": "denoise", "on": True})
+    assert state.denoise
+    state.renderer.progressive_render()
+    raw = state.film.display_numpy()
+    den = state._denoised_display()
+    assert den.shape == raw.shape and den.dtype == raw.dtype
+    assert not np.array_equal(den, raw)
+    state.control({"kind": "denoise", "on": False})
+    assert not state.denoise
