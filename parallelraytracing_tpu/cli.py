@@ -36,7 +36,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="auto (platform/scene-aware) | megakernel | "
                         "wavefront | bvh | wavefront_bvh | fused | "
                         "wavefront_fused | tlas | sharded (fused over "
-                        "every available chip)")
+                        "every available chip) | adaptive (fused + "
+                        "variance-guided per-pixel sample budgets)")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--frames", type=int, default=16,

@@ -157,6 +157,26 @@ class Film:
             self.accum, self.weights, rgb, jnp.asarray(weight, self._dtype))
         self.sample_count += 1
 
+    def add_sample_slots(self, slots: jax.Array, rgb: jax.Array,
+                         weight: float = 1.0) -> None:
+        """Accumulate a SUBSET of storage slots (the adaptive engine's
+        variance-selected pixel budget): slots (B,) i32 indices into the
+        installed storage layout (or canonical flat H*W order), rgb
+        (B,3).  Per-pixel means stay exact because weights track each
+        pixel's own sample count — the film never assumes uniform
+        coverage (duplicate slots accumulate additively, .at[].add)."""
+        rgb = rgb.astype(self._dtype)
+        w = jnp.asarray(weight, self._dtype)
+        if self._layout_inv is None:
+            acc = self.accum.reshape(-1, 3).at[slots].add(rgb * w)
+            wts = self.weights.reshape(-1).at[slots].add(w)
+            self.accum = acc.reshape(self.height, self.width, 3)
+            self.weights = wts.reshape(self.height, self.width)
+        else:
+            self.accum = self.accum.at[slots].add(rgb * w)
+            self.weights = self.weights.at[slots].add(w)
+        self.sample_count += 1
+
     # ------------------------------------------------------------------
     def to_display(self, exposure: float = 1.0, gamma: float = 2.2) -> jax.Array:
         """UpdateDisplay[GPU] -> (H,W,4) uint8 on device."""

@@ -32,6 +32,10 @@ try:
     from parallelraytracing_tpu.engines import sharded as _sharded  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from parallelraytracing_tpu.engines import adaptive as _adaptive  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Renderer", "available_engines", "create_renderer",
            "register_engine"]

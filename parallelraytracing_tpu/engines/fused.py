@@ -151,6 +151,14 @@ class FusedRenderer(Renderer):
                           else np.asarray(eye, np.float64).copy())
 
     def render_sample_buffer(self, frame_index: int) -> jax.Array:
+        return self._trace_ids(self._ids, frame_index)
+
+    def _trace_ids(self, ids, frame_index: int) -> jax.Array:
+        """One frame's mean radiance for an EXPLICIT pixel-id vector (in
+        that order).  The full-frame path passes the Morton-permuted ids;
+        the adaptive engine passes a variance-selected subset — same RNG
+        derivation either way, so a pixel's streams depend only on
+        (pixel, frame), never on the selection."""
         from parallelraytracing_tpu.engines.tables import trace_tables
         cfg = self.config
         base = jax.random.fold_in(
@@ -163,9 +171,9 @@ class FusedRenderer(Renderer):
             # derivation (ops/rays.frame_stream_seeds), so fused ==
             # sharded == wavefront_fused bit-for-bit (jitter on or off).
             jseed, s0 = frame_stream_seeds(skey)
-            o, d = raygen_ids(self._cam_params, self._ids, jseed,
+            o, d = raygen_ids(self._cam_params, ids, jseed,
                               cfg.width, cfg.height, cfg.jitter, cfg.lens)
-            pix = self._ids.astype(jnp.float32)
+            pix = ids.astype(jnp.float32)
             seed = s0[None]
             rad = trace_tables(self._tables, o, d, pix, seed, self.rows,
                                cfg, self._interpret,
