@@ -60,6 +60,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--focus-distance", type=float, default=10.0,
                    help="focal-plane distance along the view direction "
                         "(with --lens-radius > 0)")
+    p.add_argument("--qmc", action="store_true",
+                   help="QMC camera sampling: sub-pixel jitter and lens "
+                        "aperture draw Cranley-Patterson-rotated Halton "
+                        "points instead of independent uniforms (faster "
+                        "AA/depth-of-field convergence; every engine)")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"))
     p.add_argument("--look-at", type=float, nargs=3, default=None,
@@ -112,7 +117,7 @@ def main(argv=None) -> int:
                        max_depth=args.depth, samples_per_frame=args.spp,
                        jitter=not args.no_jitter, seed=args.seed,
                        nee=args.nee, lens_radius=args.lens_radius,
-                       focus_distance=args.focus_distance)
+                       focus_distance=args.focus_distance, qmc=args.qmc)
 
     if args.ply:
         from parallelraytracing_tpu.core.mesh import load_ply

@@ -85,6 +85,14 @@ class RenderConfig:
     lens_radius: float = 0.0
     focus_distance: float = 10.0
 
+    #: QMC camera sampling (extension — every reference backend is plain
+    #: MC): the sub-pixel jitter and thin-lens aperture draw
+    #: Cranley–Patterson-rotated Halton points (bases 2,3 / 5,7) instead
+    #: of independent uniforms, so each pixel's camera samples over the
+    #: progressive frames form a low-discrepancy sequence (ops/rays
+    #: halton_qpt / qmc_rotation_seed).  Path-vertex sampling stays MC.
+    qmc: bool = False
+
     @property
     def lens(self) -> Optional[Tuple[float, float]]:
         """(radius, focus_distance) for ops.rays raygen, or None when the

@@ -42,6 +42,12 @@ class Renderer(abc.ABC):
         self._config = config or RenderConfig(width=film.width, height=film.height)
         self._scene = scene
         self._scene_data = jax.device_put(scene.build())
+        # QMC camera sampling (cfg.qmc): the frame-independent
+        # Cranley–Patterson rotation seed, shared by every engine so the
+        # Pallas engines' bit-identity contract survives with QMC on.
+        from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
+        self._qseed = (qmc_rotation_seed(self._config.seed)
+                       if self._config.qmc else None)
         self.set_camera(camera)
         self._frame_index = 0
         self._post_init()
@@ -56,6 +62,18 @@ class Renderer(abc.ABC):
         shard order so accumulation stays px-sharded with no per-frame
         gather (core/film.set_layout).  None = canonical (H,W)."""
         return None
+
+    def _qpt(self, frame_index: int, s: int):
+        """The (4,) Halton point for sample s of this frame (None unless
+        cfg.qmc).  Global sample index = frame*spf + s, so the
+        progressive accumulation walks the sequence in order."""
+        if self._qseed is None:
+            return None
+        import jax.numpy as jnp
+
+        from parallelraytracing_tpu.ops.rays import halton_qpt
+        g = frame_index * self.config.samples_per_frame + s
+        return jnp.asarray(halton_qpt(g))
 
     def set_camera(self, camera: Camera) -> None:
         """Renderer::SetCamera (renderer.h:14); cheap param upload, the

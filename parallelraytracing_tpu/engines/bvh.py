@@ -79,7 +79,8 @@ class BVHRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter, cfg.lens)
+                          cfg.jitter, cfg.lens, self._qseed,
+                          self._qpt(frame_index, s))
             if self.animate is not None:
                 rad = self._trace_animated(
                     self._scene_data, self._bvh, o, d, k_path,

@@ -41,12 +41,14 @@ def _on_tpu() -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "jitter", "lens"))
 def raygen_ids(cam_params, ids, jseed, width: int, height: int,
-               jitter: bool, lens=None):
+               jitter: bool, lens=None, qpt=None):
     """Jitted id-based raygen (kept separate from the bounce-loop jit —
-    see engines/megakernel.py on the compile-time gotcha)."""
+    see engines/megakernel.py on the compile-time gotcha).  qpt: the
+    sample's Halton point for QMC mode (ops/rays, cfg.qmc)."""
     from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
     return generate_camera_rays_ids(cam_params, width, height, ids, None,
-                                    jitter, pix_seed=jseed, lens=lens)
+                                    jitter, pix_seed=jseed, lens=lens,
+                                    qpt=qpt)
 
 
 def _part1by1(v: np.ndarray) -> np.ndarray:
@@ -171,8 +173,13 @@ class FusedRenderer(Renderer):
             # derivation (ops/rays.frame_stream_seeds), so fused ==
             # sharded == wavefront_fused bit-for-bit (jitter on or off).
             jseed, s0 = frame_stream_seeds(skey)
+            if cfg.qmc:
+                # QMC: frame-independent rotation seed + per-sample
+                # Halton point; the path seed s0 stays plain MC.
+                jseed = self._qseed
             o, d = raygen_ids(self._cam_params, ids, jseed,
-                              cfg.width, cfg.height, cfg.jitter, cfg.lens)
+                              cfg.width, cfg.height, cfg.jitter, cfg.lens,
+                              self._qpt(frame_index, s))
             pix = ids.astype(jnp.float32)
             seed = s0[None]
             rad = trace_tables(self._tables, o, d, pix, seed, self.rows,

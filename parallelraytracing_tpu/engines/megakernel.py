@@ -27,9 +27,12 @@ from parallelraytracing_tpu.ops.rays import generate_camera_rays
 
 @partial(jax.jit, static_argnames=("width", "height", "jitter", "lens"))
 def raygen(cam_params: jax.Array, key: jax.Array, width: int, height: int,
-           jitter: bool, lens=None):
+           jitter: bool, lens=None, pix_seed=None, qpt=None):
+    """Shared jnp-engine raygen.  pix_seed/qpt enable QMC camera sampling
+    (cfg.qmc — pixel-keyed Cranley–Patterson rotation of the sample's
+    Halton point, ops/rays)."""
     return generate_camera_rays(cam_params, width, height, key, jitter,
-                                lens=lens)
+                                lens=lens, pix_seed=pix_seed, qpt=qpt)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -78,7 +81,8 @@ class MegakernelRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter, cfg.lens)
+                          cfg.jitter, cfg.lens, self._qseed,
+                          self._qpt(frame_index, s))
             rad = trace(self._scene_data, o, d, k_path, cfg,
                         self._lights)
             acc = rad if acc is None else acc + rad

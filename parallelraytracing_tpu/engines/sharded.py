@@ -96,11 +96,11 @@ class ShardedRenderer(FusedRenderer):
         # one jitted entry per engine instance (statics close over the
         # mesh/config; the tables pytree stays a traced arg)
         @jax.jit
-        def _frame(tables, cam, key, perm, inv):
+        def _frame(tables, cam, key, perm, inv, qpt=None):
             return render_frame_sharded_fused(
                 tables, cam, key, cfg, mesh,
                 rows=rows, interpret=interpret, perm=perm, inv=inv,
-                defer_gather=defer)
+                defer_gather=defer, qpt=qpt)
 
         self._frame_fn = _frame
 
@@ -112,6 +112,7 @@ class ShardedRenderer(FusedRenderer):
         for s in range(cfg.samples_per_frame):
             key = jax.random.fold_in(base, jnp.uint32(s))
             rad = self._frame_fn(self._tables, self._cam_params, key,
-                                 self._sperm, self._sinv)
+                                 self._sperm, self._sinv,
+                                 self._qpt(frame_index, s))
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

@@ -210,7 +210,8 @@ class WavefrontRenderer(Renderer):
             skey = jax.random.fold_in(base, jnp.uint32(s))
             k_jit, k_path = jax.random.split(skey)
             o, d = raygen(self._cam_params, k_jit, cfg.width, cfg.height,
-                          cfg.jitter, cfg.lens)
+                          cfg.jitter, cfg.lens, self._qseed,
+                          self._qpt(frame_index, s))
             rad = wavefront_trace(self._scene_data, o, d, k_path, cfg,
                                   self._bvh, self.use_bvh, self._lights)
             acc = rad if acc is None else acc + rad

@@ -270,8 +270,11 @@ class WavefrontFusedRenderer(Renderer):
             # bit-identical; radiance comes back pixel-indexed (pix ids
             # ride the queue).
             jseed, s0 = frame_stream_seeds(skey)
+            if cfg.qmc:
+                jseed = self._qseed  # QMC: shared rotation seed (base.py)
             o, d = raygen_ids(self._cam_params, self._perm, jseed,
-                              cfg.width, cfg.height, cfg.jitter, cfg.lens)
+                              cfg.width, cfg.height, cfg.jitter, cfg.lens,
+                              self._qpt(frame_index, s))
             pix0 = self._perm.astype(jnp.float32)
             seed = s0[None]
             rad = segmented_trace(

@@ -30,12 +30,18 @@ def generate_camera_rays(
     key: jax.Array | None = None,
     jitter: bool = True,
     lens=None,
+    pix_seed: jax.Array | None = None,
+    qpt: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (origins, directions), each (H*W, 3) f32, row-major like the
     reference film (pixel index = y*W + x, film.h:48-49).
 
     cam_params: packed [position(3), right(3), up(3), front(3), w, h]
-    (Camera.ray_params())."""
+    (Camera.ray_params()).
+
+    pix_seed / qpt: pixel-keyed (optionally QMC-rotated) sampling, same
+    contract as generate_camera_rays_ids — the jnp engines use this for
+    cfg.qmc."""
     pos = cam_params[0:3]
     right = cam_params[3:6]
     up = cam_params[6:9]
@@ -44,7 +50,19 @@ def generate_camera_rays(
     y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
     x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
 
-    if jitter and key is not None:
+    idx = None
+    if pix_seed is not None:
+        iy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        idx = iy * width + ix
+
+    if jitter and pix_seed is not None:
+        jx, jy = pixel_keyed_jitter(idx, pix_seed)
+        if qpt is not None:
+            jx, jy = _rot(jx, qpt[0]), _rot(jy, qpt[1])
+        px = x + jx
+        py = y + jy
+    elif jitter and key is not None:
         jx, jy = jax.random.uniform(key, (2, height, width), dtype=jnp.float32)
         px = x + jx
         py = y + jy
@@ -71,7 +89,13 @@ def generate_camera_rays(
     n = height * width
     o, d = o.reshape(n, 3), d.reshape(n, 3)
     if lens is not None and lens[0] > 0.0:
-        if key is not None:
+        if pix_seed is not None:
+            flat = idx.reshape(-1)
+            u1 = _pixel_u01(flat, pix_seed, 103)
+            u2 = _pixel_u01(flat, pix_seed, 104)
+            if qpt is not None:
+                u1, u2 = _rot(u1, qpt[2]), _rot(u2, qpt[3])
+        elif key is not None:
             u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2),
                                    dtype=jnp.float32)
             u1, u2 = u[:, 0], u[:, 1]
@@ -90,13 +114,58 @@ def generate_camera_rays_flat(
     key: jax.Array | None = None,
     jitter: bool = True,
     lens=None,
+    pix_seed: jax.Array | None = None,
+    qpt: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rays for the flat pixel-index range [start, start+count) — the
     primitive for sharded/tiled raygen where each device or tile generates
     only its own block (indices past H*W produce harmless dummy rays)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0] + start
     return generate_camera_rays_ids(cam_params, width, height, idx, key,
-                                    jitter, lens=lens)
+                                    jitter, lens=lens, pix_seed=pix_seed,
+                                    qpt=qpt)
+
+
+def radical_inverse(i: int, base: int) -> float:
+    """Van der Corput radical inverse of integer i in the given base —
+    host-side (the per-sample Halton point is a frame-loop scalar, never
+    traced)."""
+    f, inv, r = 1.0 / base, 1.0 / base, 0.0
+    while i > 0:
+        r += (i % base) * f
+        i //= base
+        f *= inv
+    return r
+
+
+def halton_qpt(g: int):
+    """The 4D Halton point for global sample index g, as a host (4,) f32:
+    bases (2,3) drive the sub-pixel jitter and (5,7) the thin-lens
+    aperture.  QMC sampling is an extension — every reference backend is
+    plain MC (curand / PCG, SURVEY §3.6 RNG notes)."""
+    import numpy as np
+    return np.array([radical_inverse(g, 2), radical_inverse(g, 3),
+                     radical_inverse(g, 5), radical_inverse(g, 7)],
+                    np.float32)
+
+
+def qmc_rotation_seed(seed: int) -> jax.Array:
+    """The frame-INDEPENDENT pixel-keyed rotation seed for QMC sampling
+    (u32 scalar).  Cranley–Patterson rotation: every pixel offsets the
+    shared Halton point by its own fixed uniforms (salts 101-104), so
+    pixels stay decorrelated while each pixel's sample sequence over
+    frames is a rotated low-discrepancy sequence.  Shared derivation —
+    fused / wavefront_fused / sharded must all use THIS seed or the
+    engines' bit-identity contract breaks (see frame_stream_seeds)."""
+    k = jax.random.fold_in(jax.random.PRNGKey(seed), jnp.uint32(0x514D43))
+    return jax.random.randint(k, (), 0, 2**31 - 1,
+                              jnp.int32).astype(jnp.uint32)
+
+
+def _rot(u: jax.Array, off: jax.Array) -> jax.Array:
+    """Cranley–Patterson rotation: (u + off) mod 1."""
+    v = u + off
+    return v - jnp.floor(v)
 
 
 def frame_stream_seeds(skey: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -176,6 +245,7 @@ def generate_camera_rays_ids(
     jitter: bool = True,
     pix_seed: jax.Array | None = None,
     lens=None,
+    qpt: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rays for an EXPLICIT flat pixel-id vector — the raygen primitive
     for permuted (e.g. Morton-ordered) shard blocks, where a device's
@@ -186,7 +256,15 @@ def generate_camera_rays_ids(
     lens = (aperture_radius, focus_distance) enables thin-lens defocus
     blur (apply_thin_lens); pixel-keyed callers draw the aperture sample
     from salts 103/104 so the blur — like the jitter — is invariant to
-    shard layout and ray order."""
+    shard layout and ray order.
+
+    qpt (QMC mode, requires pix_seed): the (4,) f32 Halton point of this
+    sample (halton_qpt).  The pixel-keyed draws become per-pixel
+    Cranley–Patterson rotations of it — callers pass the
+    frame-INDEPENDENT qmc_rotation_seed as pix_seed so each pixel's
+    samples over frames form a rotated low-discrepancy sequence, while
+    the layout-invariance contract is untouched (the rotation is still
+    keyed on the pixel id alone)."""
     count = idx.shape[0]
     pos = cam_params[0:3]
     right = cam_params[3:6]
@@ -198,6 +276,8 @@ def generate_camera_rays_ids(
 
     if jitter and pix_seed is not None:
         jx, jy = pixel_keyed_jitter(idx, pix_seed)
+        if qpt is not None:
+            jx, jy = _rot(jx, qpt[0]), _rot(jy, qpt[1])
         px, py = x + jx, y + jy
     elif jitter and key is not None:
         j = jax.random.uniform(key, (count, 2), dtype=jnp.float32)
@@ -220,6 +300,8 @@ def generate_camera_rays_ids(
         if pix_seed is not None:
             u1 = _pixel_u01(idx, pix_seed, 103)
             u2 = _pixel_u01(idx, pix_seed, 104)
+            if qpt is not None:
+                u1, u2 = _rot(u1, qpt[2]), _rot(u2, qpt[3])
         elif key is not None:
             u = jax.random.uniform(jax.random.fold_in(key, 1), (count, 2),
                                    dtype=jnp.float32)

@@ -60,17 +60,28 @@ def render_frame_sharded(
     key: jax.Array,
     cfg: RenderConfig,
     mesh: Mesh,
+    qpt: jax.Array | None = None,
 ) -> jax.Array:
     """One progressive frame over the mesh; NOT jitted itself — wrap in
     jax.jit (see render_frame_sharded_jit).
 
     Returns (H*W, 3) mean radiance over the mesh's spp axis x
-    cfg.samples_per_frame samples, sharded over "px"."""
+    cfg.samples_per_frame samples, sharded over "px".
+
+    qpt (QMC mode, cfg.qmc): the frame's Halton points as a
+    (samples_per_frame, 4) f32 array (ops/rays.halton_qpt per sample) —
+    the frame index lives host-side, so the caller supplies them."""
     blk = shard_block_size(cfg, mesh)
     n_spp = mesh.shape["spp"]
     r = cfg.pixel_count
+    if cfg.qmc and qpt is None:
+        raise ValueError("cfg.qmc requires the frame's Halton points "
+                         "(qpt, one row per sample) — see halton_qpt")
+    from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
+    qseed0 = (qmc_rotation_seed(cfg.seed).astype(jnp.int32)
+              if cfg.qmc else None)
 
-    def per_device(scene_rep, cam_rep, k):
+    def per_device(scene_rep, cam_rep, k, qpt_rep):
         px_i = jax.lax.axis_index("px")
         spp_i = jax.lax.axis_index("spp")
         start = px_i * blk
@@ -79,9 +90,21 @@ def render_frame_sharded(
         def one_sample(s, acc):
             skey = jax.random.fold_in(dev_key, s)
             k_jit, k_path = jax.random.split(skey)
-            o, d = generate_camera_rays_flat(
-                cam_rep, cfg.width, cfg.height, start, blk,
-                k_jit, cfg.jitter, lens=cfg.lens)
+            if cfg.qmc:
+                # Rotation seed is device-INDEPENDENT on the px axis
+                # (pixel-keyed → layout-invariant) but distinct per spp
+                # shard (each spp stream = its own rotated sequence).
+                sstep = jnp.int32(0x632BE5AB)
+                pseed = (qseed0 + spp_i.astype(jnp.int32)
+                         * sstep).astype(jnp.uint32)
+                o, d = generate_camera_rays_flat(
+                    cam_rep, cfg.width, cfg.height, start, blk,
+                    None, cfg.jitter, lens=cfg.lens,
+                    pix_seed=pseed, qpt=qpt_rep[s])
+            else:
+                o, d = generate_camera_rays_flat(
+                    cam_rep, cfg.width, cfg.height, start, blk,
+                    k_jit, cfg.jitter, lens=cfg.lens)
             return acc + trace_paths_tiled(scene_rep, o, d, k_path, cfg)
 
         acc = jnp.zeros((blk, 3), jnp.float32)
@@ -95,20 +118,22 @@ def render_frame_sharded(
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P()),
         out_specs=P("px", None),
         # The tracer's loop carries mix replicated inits with
         # device-varying ray state; skip the varying-manual-axes type
         # check rather than thread pvary through every carry.
         check_vma=False,
     )
-    out = shard(scene, cam_params, key)
+    if qpt is None:
+        qpt = jnp.zeros((cfg.samples_per_frame, 4), jnp.float32)
+    out = shard(scene, cam_params, key, qpt)
     return out[:r] / (n_spp * cfg.samples_per_frame)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
-def render_frame_sharded_jit(scene, cam_params, key, cfg, mesh):
-    return render_frame_sharded(scene, cam_params, key, cfg, mesh)
+def render_frame_sharded_jit(scene, cam_params, key, cfg, mesh, qpt=None):
+    return render_frame_sharded(scene, cam_params, key, cfg, mesh, qpt)
 
 
 def render_frame_sharded_fused(
@@ -122,6 +147,7 @@ def render_frame_sharded_fused(
     perm: jax.Array | None = None,
     inv: jax.Array | None = None,
     defer_gather: bool = False,
+    qpt: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-chip frame through the fused Pallas kernel at FULL feature
     parity with the single-chip fused engine: each ("px","spp") device
@@ -167,14 +193,24 @@ def render_frame_sharded_fused(
     # shard i offsets them by i (sample stream i), px shards share them.
     jseed0, seed0 = frame_stream_seeds(key)
     jseed0 = jseed0.astype(jnp.int32)  # spp-offset math below stays int32
+    if cfg.qmc:
+        # QMC (cfg.qmc): the jitter/lens rotation seed is
+        # frame-INDEPENDENT (same derivation as the fused engine, so
+        # the 1x1-mesh bit-identity contract holds) and the caller
+        # passes this sample's Halton point; the path seed stays MC.
+        from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
+        if qpt is None:
+            raise ValueError("cfg.qmc requires this sample's Halton "
+                             "point (qpt) — see ops/rays.halton_qpt")
+        jseed0 = qmc_rotation_seed(cfg.seed).astype(jnp.int32)
 
-    def trace_block(t, cam, seed0, jseed0, ids, spp_i):
+    def trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt):
         ids = ids.reshape(-1)
         sstep = jnp.int32(0x632BE5AB)  # odd: distinct streams per spp shard
         jseed = (jseed0 + spp_i * sstep).astype(jnp.uint32)
         o, d = generate_camera_rays_ids(
             cam, cfg.width, cfg.height, ids, None, cfg.jitter,
-            pix_seed=jseed, lens=cfg.lens)
+            pix_seed=jseed, lens=cfg.lens, qpt=qpt)
         # Global pixel ids key the in-kernel RNG, so the image is
         # invariant to the px-shard layout.
         pix = ids.astype(jnp.float32)
@@ -187,19 +223,22 @@ def render_frame_sharded_fused(
         # produces the BIT-identical image without their overhead —
         # single-chip `sharded` costs the same as `fused` (tested).
         out = trace_block(tables, cam_params, seed0, jseed0, perm,
-                          jnp.int32(0))
+                          jnp.int32(0), qpt)
     else:
-        def per_device(t, cam, seed0, jseed0, ids):
+        if qpt is None:
+            qpt = jnp.zeros((4,), jnp.float32)  # unused (non-QMC)
+
+        def per_device(t, cam, seed0, jseed0, ids, qpt):
             spp_i = jax.lax.axis_index("spp").astype(jnp.int32)
-            rad = trace_block(t, cam, seed0, jseed0, ids, spp_i)
+            rad = trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt)
             return jax.lax.psum(rad, axis_name="spp")
 
         shard = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("px")),
+            in_specs=(P(), P(), P(), P(), P("px"), P()),
             out_specs=P("px", None),
             check_vma=False)
-        out = shard(tables, cam_params, seed0, jseed0, perm)
+        out = shard(tables, cam_params, seed0, jseed0, perm, qpt)
     if defer_gather:
         # Caller keeps the film in perm order (Film.set_layout): the
         # (n_px*blk, 3) result STAYS px-sharded — zero per-frame gathers,

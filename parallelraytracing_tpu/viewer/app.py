@@ -397,6 +397,9 @@ def main(argv=None) -> int:
                         "params are jit-static, so a live slider would "
                         "recompile per step)")
     p.add_argument("--focus-distance", type=float, default=10.0)
+    p.add_argument("--qmc", action="store_true",
+                   help="QMC camera sampling (rotated-Halton jitter/lens "
+                        "draws; faster AA/defocus convergence)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -411,7 +414,7 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth, seed=0,
                        lens_radius=args.lens_radius,
-                       focus_distance=args.focus_distance)
+                       focus_distance=args.focus_distance, qmc=args.qmc)
     scene = Scene(ScenePreset(args.scene))
     cam = default_camera(args.width, args.height)
     state = ViewerState(scene, cam, cfg, args.engine)
