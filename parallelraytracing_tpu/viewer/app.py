@@ -106,7 +106,8 @@ async function poll() {
   try {
     const s = await (await fetch('/stats')).json();
     document.getElementById('frame').textContent = s.frame;
-    document.getElementById('samples').textContent = s.samples;
+    document.getElementById('samples').textContent =
+      s.samples + (s.preview ? ' (preview)' : '');
     document.getElementById('ms').textContent = s.render_ms.toFixed(1);
     document.getElementById('fps').textContent = s.fps.toFixed(1);
     plot(document.getElementById('stages'),
@@ -166,7 +167,8 @@ class ViewerState:
     """Shared state between the render loop, the encoder thread, and the
     HTTP handlers."""
 
-    def __init__(self, scene, camera, cfg, engine_name: str):
+    def __init__(self, scene, camera, cfg, engine_name: str,
+                 preview_scale: int = 1):
         import jax
 
         from parallelraytracing_tpu import Film, available_engines, create_renderer
@@ -185,6 +187,27 @@ class ViewerState:
         # here engines init lazily on first selection but STAY warm (jit
         # caches included), so switching back is instant.
         self.renderer_cache = {engine_name: self.renderer}
+        # Motion-adaptive resolution: while the camera moves (every frame
+        # restarts accumulation anyway, main.cpp:506-511) render a
+        # 1/preview_scale-resolution frame instead — scale^2 fewer rays,
+        # so orbiting stays at interactive rate; at rest the full-res
+        # progressive refinement resumes.  The browser upscales the
+        # smaller PNG (fixed <img> dims + pixelated rendering).
+        self.preview_scale = max(int(preview_scale), 1)
+        self.previewing = False
+        self.preview_cache: dict = {}
+        if self.preview_scale > 1:
+            pw = max(8, cfg.width // self.preview_scale)
+            ph = max(8, cfg.height // self.preview_scale)
+            self.preview_cfg = cfg.replace(width=pw, height=ph)
+            self.preview_film = Film(pw, ph)
+            # Pre-warm the initial engine's preview program (the
+            # Init-everything-up-front spirit of main.cpp:165-166) so the
+            # first drag doesn't stall on a jit compile.
+            pr = self._preview_renderer(engine_name)
+            pr.progressive_render()
+            self.preview_film.clear()
+            pr.reset_progressive()
         self.lock = threading.Lock()
         self.camera_dirty = False
         self.switch_to = None
@@ -266,6 +289,21 @@ class ViewerState:
         self.film.clear()
         self.renderer.reset_progressive()
 
+    def _preview_renderer(self, name: str):
+        """The engine's low-res twin for motion preview (same scene and
+        semantics, 1/preview_scale resolution); cached warm like the
+        full-res engines."""
+        from parallelraytracing_tpu import create_renderer
+        r = self.preview_cache.get(name)
+        if r is None:
+            r = create_renderer(name)
+            r.init(self.preview_film, self.scene, self.camera,
+                   self.preview_cfg)
+            self.preview_cache[name] = r
+        else:
+            self.preview_film.set_layout(r.film_layout())
+        return r
+
     def _denoised_display(self):
         """Tonemapped u8 frame through the a-trous denoiser (postfx) —
         same Reinhard+gamma transform as Film.display_numpy."""
@@ -286,51 +324,75 @@ class ViewerState:
 
     # ---------------------------------------------------- frame loop (main)
     def run(self) -> None:
-        from parallelraytracing_tpu.utils.sync import device_sync
-
         last = time.time()
         while not self.stop:
             now = time.time()
             dt = min(now - last, 0.1)
             last = now
+            self._step(dt if dt > 0 else 0.016)
 
-            with self.lock:
-                moved = self.camera.update(dt if dt > 0 else 0.016)
-                switch = self.switch_to
-                self.switch_to = None
+    def _step(self, dt: float) -> None:
+        """One frame-loop iteration (split out of run() for tests)."""
+        from parallelraytracing_tpu.utils.sync import device_sync
 
-            if switch:
-                self._switch_engine(switch)
-            if moved:
-                # camera move -> SetCamera + film.Clear (main.cpp:506-511)
+        with self.lock:
+            moved = self.camera.update(dt)
+            switch = self.switch_to
+            self.switch_to = None
+
+        if switch:
+            self._switch_engine(switch)
+            self.previewing = False
+        if moved:
+            # camera move -> SetCamera + film.Clear (main.cpp:506-511)
+            if self.preview_scale > 1:
+                # motion: drop to the low-res preview twin
+                pr = self._preview_renderer(self.engine_name)
+                pr.set_camera(self.camera)
+                self.preview_film.clear()
+                pr.reset_progressive()
+                self.previewing = True
+            else:
                 self.renderer.set_camera(self.camera)
                 self.film.clear()
                 self.renderer.reset_progressive()
+        elif self.previewing:
+            # motion stopped: hand back to full-res refinement
+            self.renderer.set_camera(self.camera)
+            self.film.clear()
+            self.renderer.reset_progressive()
+            self.previewing = False
 
-            t0 = time.perf_counter()
-            self.renderer.progressive_render()
-            device_sync(self.film.accum)
-            t1 = time.perf_counter()
-            if self.denoise:
-                display = self._denoised_display()
-            else:
-                display = self.film.display_numpy()  # tonemap + fetch
-            t2 = time.perf_counter()
+        if self.previewing:
+            renderer, film = self.preview_cache[self.engine_name], \
+                self.preview_film
+        else:
+            renderer, film = self.renderer, self.film
 
-            # hand off to the encoder thread (never blocks the loop)
-            self._encode_buf = display
-            self._encode_ready.set()
+        t0 = time.perf_counter()
+        renderer.progressive_render()
+        device_sync(film.accum)
+        t1 = time.perf_counter()
+        if self.denoise and not self.previewing:
+            display = self._denoised_display()
+        else:
+            display = film.display_numpy()  # tonemap + fetch
+        t2 = time.perf_counter()
 
-            self.render_ms = (t1 - t0) * 1e3
-            tonemap_ms = (t2 - t1) * 1e3
-            total_ms = (t2 - t0) * 1e3
-            self.fps = 1.0 / max(t2 - t0, 1e-9)
-            self.frame += 1
-            self.history["render"].append(round(self.render_ms, 2))
-            self.history["tonemap"].append(round(tonemap_ms, 2))
-            self.history["encode"].append(round(self.encode_ms, 2))
-            self.history["total"].append(round(total_ms, 2))
-            self.history["fps"].append(round(self.fps, 2))
+        # hand off to the encoder thread (never blocks the loop)
+        self._encode_buf = display
+        self._encode_ready.set()
+
+        self.render_ms = (t1 - t0) * 1e3
+        tonemap_ms = (t2 - t1) * 1e3
+        total_ms = (t2 - t0) * 1e3
+        self.fps = 1.0 / max(t2 - t0, 1e-9)
+        self.frame += 1
+        self.history["render"].append(round(self.render_ms, 2))
+        self.history["tonemap"].append(round(tonemap_ms, 2))
+        self.history["encode"].append(round(self.encode_ms, 2))
+        self.history["total"].append(round(total_ms, 2))
+        self.history["fps"].append(round(self.fps, 2))
 
 
 def make_handler(state: ViewerState):
@@ -356,7 +418,10 @@ def make_handler(state: ViewerState):
             elif self.path.startswith("/stats"):
                 body = json.dumps({
                     "frame": state.frame,
-                    "samples": state.film.sample_count,
+                    "samples": (state.preview_film.sample_count
+                                if state.previewing
+                                else state.film.sample_count),
+                    "preview": state.previewing,
                     "render_ms": state.render_ms,
                     "fps": state.fps,
                     "engine": state.engine_name,
@@ -400,6 +465,10 @@ def main(argv=None) -> int:
     p.add_argument("--qmc", action="store_true",
                    help="QMC camera sampling (rotated-Halton jitter/lens "
                         "draws; faster AA/defocus convergence)")
+    p.add_argument("--preview-scale", type=int, default=3,
+                   help="render at 1/N resolution while the camera moves "
+                        "(N^2 fewer rays -> interactive orbiting), full "
+                        "resolution at rest; 1 disables")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -417,7 +486,8 @@ def main(argv=None) -> int:
                        focus_distance=args.focus_distance, qmc=args.qmc)
     scene = Scene(ScenePreset(args.scene))
     cam = default_camera(args.width, args.height)
-    state = ViewerState(scene, cam, cfg, args.engine)
+    state = ViewerState(scene, cam, cfg, args.engine,
+                        preview_scale=args.preview_scale)
 
     server = ThreadingHTTPServer(("127.0.0.1", args.port),
                                  make_handler(state))

@@ -86,6 +86,39 @@ def test_viewer_engine_cache_reuses_initialized_renderers():
     assert state.film.sample_count == 1
 
 
+def test_viewer_motion_preview_drops_resolution():
+    """Motion-adaptive resolution: while the camera moves the loop
+    renders the low-res preview twin (scale^2 fewer rays — the
+    interactive-orbit path); at rest the full-res progressive
+    refinement resumes from a cleared film."""
+    from parallelraytracing_tpu import RenderConfig, Scene, ScenePreset
+    from parallelraytracing_tpu.core.camera import default_camera
+    from parallelraytracing_tpu.viewer.app import ViewerState
+
+    cfg = RenderConfig(width=32, height=16, max_depth=2, seed=0,
+                       intersect_chunk=8, ray_tile=1 << 10)
+    state = ViewerState(Scene(ScenePreset.MATERIAL_TEST),
+                        default_camera(32, 16), cfg, "megakernel",
+                        preview_scale=2)
+    assert state.preview_cfg.width == 16 and state.preview_cfg.height == 8
+
+    state._step(0.016)                     # at rest: full-res frame
+    assert not state.previewing and state.film.sample_count == 1
+
+    state.control({"kind": "zoom", "dy": -120})
+    state._step(0.016)                     # moving: preview frame
+    assert state.previewing
+    assert state.preview_film.sample_count == 1
+    assert state.film.sample_count == 1    # full film untouched by preview
+
+    state._step(0.016)                     # velocity spent: back to full res
+    assert not state.previewing
+    assert state.film.sample_count == 1    # cleared, one fresh frame
+
+    state._step(0.016)                     # refinement continues
+    assert state.film.sample_count == 2
+
+
 def test_viewer_denoise_toggle_produces_frames():
     """The live a-trous toggle: denoised display has the same shape/dtype
     as the raw path, differs from it on a noisy accumulation, and the
