@@ -60,6 +60,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--focus-distance", type=float, default=10.0,
                    help="focal-plane distance along the view direction "
                         "(with --lens-radius > 0)")
+    p.add_argument("--rr-depth", type=int, default=0, metavar="D",
+                   help="Russian roulette: stochastically terminate "
+                        "low-throughput paths after D bounces, unbiased "
+                        "(0 = off, the reference's fixed depth budget; "
+                        "listed as future work in its wavefront.md)")
+    p.add_argument("--clamp", type=float, default=0.0, metavar="C",
+                   help="firefly clamp: cap per-sample radiance at C "
+                        "before accumulation (0 = off; biased but kills "
+                        "outlier speckle — reference wavefront.md future "
+                        "work)")
     p.add_argument("--qmc", action="store_true",
                    help="QMC camera sampling: sub-pixel jitter and lens "
                         "aperture draw Cranley-Patterson-rotated Halton "
@@ -117,7 +127,9 @@ def main(argv=None) -> int:
                        max_depth=args.depth, samples_per_frame=args.spp,
                        jitter=not args.no_jitter, seed=args.seed,
                        nee=args.nee, lens_radius=args.lens_radius,
-                       focus_distance=args.focus_distance, qmc=args.qmc)
+                       focus_distance=args.focus_distance, qmc=args.qmc,
+                       russian_roulette_depth=args.rr_depth,
+                       firefly_clamp=args.clamp)
 
     if args.ply:
         from parallelraytracing_tpu.core.mesh import load_ply

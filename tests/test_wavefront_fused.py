@@ -46,6 +46,17 @@ def test_segment_size_is_bit_invariant():
     assert np.array_equal(a, b), "segment size changed the image"
 
 
+def test_segment_schedule_is_bit_invariant():
+    # A non-uniform schedule (short first segment = early compaction of
+    # the bounce-1 sky deaths) must render the bit-identical image: RNG
+    # is keyed on (pixel, absolute depth), never on segment boundaries.
+    a = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
+               rows=2, segment=3)
+    b = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
+               rows=2, segment=3, segment_first=1)
+    assert np.array_equal(a, b), "segment schedule changed the image"
+
+
 def test_statistically_matches_oracle():
     a = render("megakernel", ScenePreset.MATERIAL_TEST, CFG, frames=24)
     b = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=24,
