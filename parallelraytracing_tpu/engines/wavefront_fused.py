@@ -82,10 +82,11 @@ def _sort_key(state, bb_lo, inv_ext, mode: str):
 
 @partial(jax.jit,
          static_argnames=("rows", "segment", "cfg", "interpret",
-                          "sort_rays", "first_segment"))
+                          "sort_rays", "first_segment", "schedule"))
 def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
                     cfg: RenderConfig, interpret: bool = False,
-                    sort_rays: str = "octant", first_segment: int = 0):
+                    sort_rays: str = "octant", first_segment: int = 0,
+                    schedule: tuple = ()):
     """Returns (R,3) radiance for camera rays (o, d), indexed by the
     original pixel ids pix0 (f32 (R,) — rays may arrive in any order,
     e.g. Morton pixel order).
@@ -97,8 +98,10 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
     rest stay `segment` long): bounce 1 kills the sky-miss rays (~40%
     of camera rays on the mesh workloads), so compacting + re-sorting
     right after it hands the expensive middle bounces a denser, more
-    coherent pool.  RNG is keyed on (pixel, absolute depth), so any
-    schedule renders the bit-identical image (tested)."""
+    coherent pool.  `schedule` (a tuple of per-segment bounce counts,
+    last entry repeated to cover max_depth) overrides both.  RNG is
+    keyed on (pixel, absolute depth), so any schedule renders the
+    bit-identical image (tested)."""
     t = tables
     max_depth = cfg.max_depth
     t_min, t_max = cfg.t_min, cfg.t_max
@@ -123,7 +126,13 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
     bb_lo, inv_ext = bb
 
     seg_lens = []
-    if 0 < first_segment < max_depth:
+    if schedule:
+        for s in schedule:
+            if sum(seg_lens) >= max_depth:
+                break
+            seg_lens.append(min(int(s), max_depth - sum(seg_lens)))
+        segment = max(1, int(schedule[-1]))  # repeat the last entry
+    elif 0 < first_segment < max_depth:
         seg_lens.append(first_segment)
     while sum(seg_lens) < max_depth:
         seg_lens.append(min(segment, max_depth - sum(seg_lens)))
@@ -256,6 +265,11 @@ class WavefrontFusedRenderer(Renderer):
     #: densifies the pool before the expensive middle bounces.
     segment_first: int = int(os.environ.get("PRT_SEGMENT_FIRST", "0"))
 
+    #: full per-segment schedule, e.g. "2,4,6" (last entry repeats to
+    #: cover max_depth); overrides segment/segment_first when non-empty.
+    schedule: tuple = tuple(
+        int(s) for s in os.environ.get("PRT_SCHEDULE", "").split(",") if s)
+
     accel: str = os.environ.get("PRT_TRAVERSAL", "auto")
     vmem_threshold: int = 2048
 
@@ -263,8 +277,15 @@ class WavefrontFusedRenderer(Renderer):
         n_tri = len(self._scene._tri) + sum(
             len(m.indices) // 3
             for m in getattr(self._scene, "_inst_meshes", []))
-        if "PRT_SEGMENT" not in os.environ and n_tri > 512:
+        if ("PRT_SEGMENT" not in os.environ
+                and "PRT_SCHEDULE" not in os.environ and n_tri > 512):
+            # Growing schedule for triangle-heavy scenes: compact+re-sort
+            # right after the bounces that retire the sky-miss bulk (2,
+            # then 6), then run the long coherent tail in one segment.
+            # Measured optimum of the round-3 schedule sweeps (RESULTS.md):
+            # bunny 921 -> 679 ms, dragon 1215 -> 928 ms at 1080p/d20.
             self.segment = 5
+            self.schedule = (2, 4, 14)
         from parallelraytracing_tpu.engines.tables import build_scene_tables
         self._tables, self._scene_data = build_scene_tables(
             self._scene, self.config, accel=self.accel,
@@ -299,6 +320,7 @@ class WavefrontFusedRenderer(Renderer):
             rad = segmented_trace(
                 self._tables, o, d, pix0, seed, self.rows, self.segment,
                 cfg, self._interpret, self.sort_rays,
-                first_segment=self.segment_first)
+                first_segment=self.segment_first,
+                schedule=tuple(self.schedule))
             acc = rad if acc is None else acc + rad
         return acc / cfg.samples_per_frame

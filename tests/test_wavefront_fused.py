@@ -55,6 +55,9 @@ def test_segment_schedule_is_bit_invariant():
     b = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
                rows=2, segment=3, segment_first=1)
     assert np.array_equal(a, b), "segment schedule changed the image"
+    c = render("wavefront_fused", ScenePreset.MATERIAL_TEST, CFG, frames=2,
+               rows=2, segment=3, schedule=(1, 2, 4))
+    assert np.array_equal(a, c), "full schedule changed the image"
 
 
 def test_statistically_matches_oracle():
