@@ -281,7 +281,8 @@ def main() -> None:
             "dragon_sah_1080p_d20": (dragon_scene, bunny_cam, mesh_cfg,
                                      ["wavefront_fused", "fused", "bvh"]),
             "multimesh_tlas_halfres_d8": (multimesh_scene, mm_cam, mm_cfg,
-                                          ["tlas", "fused"]),
+                                          ["wavefront_fused", "tlas",
+                                           "fused"]),
         }.items():
             try:
                 eng2, res2 = measure(sc(), cam2, cfg2, prefs, mesh_frames)

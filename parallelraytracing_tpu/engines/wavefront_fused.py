@@ -280,12 +280,17 @@ class WavefrontFusedRenderer(Renderer):
         if ("PRT_SEGMENT" not in os.environ
                 and "PRT_SCHEDULE" not in os.environ and n_tri > 512):
             # Growing schedule for triangle-heavy scenes: compact+re-sort
-            # right after the bounces that retire the sky-miss bulk (2,
-            # then 6), then run the long coherent tail in one segment.
-            # Measured optimum of the round-3 schedule sweeps (RESULTS.md):
-            # bunny 921 -> 679 ms, dragon 1215 -> 928 ms at 1080p/d20.
+            # after bounce 2 (the sky-miss bulk) and bounce 6, then run
+            # the coherent tail in one segment.  Measured optima of the
+            # round-3 schedule sweeps (RESULTS.md): bunny 921 -> 679 ms,
+            # dragon 1215 -> 928 ms at 1080p/d20 via (2,4,14); multimesh
+            # d8 156 -> 145 ms via (2,6).
+            d = self.config.max_depth
             self.segment = 5
-            self.schedule = (2, 4, 14)
+            if d > 10:
+                self.schedule = (2, 4, d - 6)
+            elif d > 4:
+                self.schedule = (2, d - 2)
         from parallelraytracing_tpu.engines.tables import build_scene_tables
         self._tables, self._scene_data = build_scene_tables(
             self._scene, self.config, accel=self.accel,
