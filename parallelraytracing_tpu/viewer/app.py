@@ -451,6 +451,11 @@ def make_handler(state: ViewerState):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="interactive viewer")
     p.add_argument("--scene", default="material_test")
+    p.add_argument("--ply", default=None, metavar="PATH",
+                   help="orbit a PLY mesh instead of a preset (same scene "
+                        "recipe as the CLI: mesh on a ground quad under "
+                        "an emissive sphere; mesh scenes auto-select the "
+                        "segmented wavefront engine)")
     p.add_argument("--engine", default="fused",
                    help="initial engine (fused = the Pallas megakernel; "
                         "switchable live in the UI)")
@@ -484,8 +489,27 @@ def main(argv=None) -> int:
                        max_depth=args.depth, seed=0,
                        lens_radius=args.lens_radius,
                        focus_distance=args.focus_distance, qmc=args.qmc)
-    scene = Scene(ScenePreset(args.scene))
-    cam = default_camera(args.width, args.height)
+    if args.ply:
+        from parallelraytracing_tpu.core.camera import Camera
+        from parallelraytracing_tpu.core.mesh import load_ply
+        mesh = load_ply(args.ply)
+        scene = Scene(preset=None)
+        mat = scene.add_lambertian((0.75, 0.65, 0.5))
+        scene.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+        ground = scene.add_lambertian((0.5, 0.5, 0.5))
+        scene.add_quad(100, 100, ground, None)
+        light = scene.add_emissive((12, 12, 12))
+        scene.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+        import numpy as _np
+        eye = _np.array([0.0, 14.0, 28.0])
+        look = _np.array([0.0, 7.0, 0.0])
+        cam = Camera(eye, look - eye, float(args.width),
+                     float(args.height), 100.0)
+        if args.engine == "fused":  # mesh default: the segmented engine
+            args.engine = "wavefront_fused"
+    else:
+        scene = Scene(ScenePreset(args.scene))
+        cam = default_camera(args.width, args.height)
     state = ViewerState(scene, cam, cfg, args.engine,
                         preview_scale=args.preview_scale)
 
@@ -493,7 +517,7 @@ def main(argv=None) -> int:
                                  make_handler(state))
     threading.Thread(target=server.serve_forever, daemon=True).start()
     print(f"viewer on http://127.0.0.1:{args.port}  "
-          f"(scene={args.scene}, engine={args.engine})")
+          f"(scene={args.ply or args.scene}, engine={args.engine})")
     try:
         state.run()
     except KeyboardInterrupt:
