@@ -132,17 +132,8 @@ def main(argv=None) -> int:
                        firefly_clamp=args.clamp)
 
     if args.ply:
-        from parallelraytracing_tpu.core.mesh import load_ply
-        mesh = load_ply(args.ply)
-        scene = Scene(preset=None)
-        mat = scene.add_lambertian((0.75, 0.65, 0.5))
-        scene.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
-        ground = scene.add_lambertian((0.5, 0.5, 0.5))
-        scene.add_quad(100, 100, ground, None)
-        light = scene.add_emissive((12, 12, 12))
-        scene.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
-        default_eye = (0.0, 14.0, 28.0)
-        default_look = (0.0, 7.0, 0.0)
+        from parallelraytracing_tpu.core.scene import ply_showcase_scene
+        scene, default_eye, default_look = ply_showcase_scene(args.ply)
     else:
         scene = Scene(ScenePreset(args.scene))
         default_eye = (5.0, 5.0, 8.0)  # main.cpp:142-150

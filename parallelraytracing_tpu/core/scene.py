@@ -607,3 +607,24 @@ _PRESET_BUILDERS = {
     ScenePreset.RANDOM_BALLS_LARGE: lambda s: _init_random_balls(s, 800),
     ScenePreset.TEXTURE_DEMO: _init_texture_demo,
 }
+
+
+def ply_showcase_scene(path: str):
+    """The shared PLY showcase: the mesh (scaled 8x, turned to face the
+    camera) on a gray ground quad under an emissive sphere, with the
+    camera framing used by the CLI/viewer/benchmarks.
+
+    Returns (scene, eye, look_at).  One recipe so `cli --ply`,
+    `viewer --ply`, and the mesh benchmarks render the same image for
+    the same file (the reference's Mesh path was dormant — mesh.cpp is
+    never instantiated; this is its activated analogue)."""
+    from parallelraytracing_tpu.core.mesh import load_ply
+    mesh = load_ply(path)
+    scene = Scene(preset=None)
+    mat = scene.add_lambertian((0.75, 0.65, 0.5))
+    scene.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+    ground = scene.add_lambertian((0.5, 0.5, 0.5))
+    scene.add_quad(100, 100, ground, None)
+    light = scene.add_emissive((12, 12, 12))
+    scene.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+    return scene, (0.0, 14.0, 28.0), (0.0, 7.0, 0.0)

@@ -490,19 +490,12 @@ def main(argv=None) -> int:
                        lens_radius=args.lens_radius,
                        focus_distance=args.focus_distance, qmc=args.qmc)
     if args.ply:
-        from parallelraytracing_tpu.core.camera import Camera
-        from parallelraytracing_tpu.core.mesh import load_ply
-        mesh = load_ply(args.ply)
-        scene = Scene(preset=None)
-        mat = scene.add_lambertian((0.75, 0.65, 0.5))
-        scene.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
-        ground = scene.add_lambertian((0.5, 0.5, 0.5))
-        scene.add_quad(100, 100, ground, None)
-        light = scene.add_emissive((12, 12, 12))
-        scene.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
         import numpy as _np
-        eye = _np.array([0.0, 14.0, 28.0])
-        look = _np.array([0.0, 7.0, 0.0])
+
+        from parallelraytracing_tpu.core.camera import Camera
+        from parallelraytracing_tpu.core.scene import ply_showcase_scene
+        scene, eye, look = ply_showcase_scene(args.ply)
+        eye, look = _np.asarray(eye), _np.asarray(look)
         cam = Camera(eye, look - eye, float(args.width),
                      float(args.height), 100.0)
         if args.engine == "fused":  # mesh default: the segmented engine
