@@ -53,6 +53,15 @@ class ShardedRenderer(FusedRenderer):
     #: every frame to display time only (VERDICT r2 item 7).
     defer_gather: bool = os.environ.get("PRT_DEFER_GATHER", "1") != "0"
 
+    #: per-device SEGMENTED tracing (the wavefront_fused engine under
+    #: shard_map: device-local compaction + octant/Morton re-sort between
+    #: bounce segments — no collectives touch the ray pool).  "auto"
+    #: routes triangle-heavy scenes through it (the growing-schedule mesh
+    #: win, RESULTS.md); "1"/"0" force.  Segment schedule follows the
+    #: wavefront_fused depth-aware default.
+    segmented: str = os.environ.get("PRT_SHARDED_SEGMENTED", "auto")
+    sort_rays: str = os.environ.get("PRT_SORT", "octant")
+
     def film_layout(self):
         if not self.defer_gather:
             return None
@@ -61,8 +70,30 @@ class ShardedRenderer(FusedRenderer):
     def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import LANES
         from parallelraytracing_tpu.parallel.sharding import (
-            make_render_mesh, render_frame_sharded_fused)
+            make_render_mesh, render_frame_sharded_fused,
+            render_frame_sharded_segmented)
         super()._post_init()  # packs self._tables (full fused feature set)
+
+        n_tri = len(self._scene._tri) + sum(
+            len(m.indices) // 3
+            for m in getattr(self._scene, "_inst_meshes", []))
+        use_seg = (n_tri > 512 if self.segmented == "auto"
+                   else self.segmented not in ("0", "", "none"))
+        schedule = ()
+        if use_seg:
+            # The segment kernel carries 14 ray planes and opts out of
+            # the hot/cold triangle split (compile-memory bound) — same
+            # table shape wavefront_fused uses.
+            from parallelraytracing_tpu.engines.tables import \
+                build_scene_tables
+            self._tables, self._scene_data = build_scene_tables(
+                self._scene, self.config, accel=self.accel,
+                vmem_threshold=self.vmem_threshold, allow_partial=False)
+            d = self.config.max_depth
+            if d > 10:
+                schedule = (2, 4, d - 6)
+            elif d > 4:
+                schedule = (2, d - 2)
 
         devs = (list(self.devices) if self.devices is not None
                 else list(jax.devices()))
@@ -93,14 +124,25 @@ class ShardedRenderer(FusedRenderer):
         interpret = self._interpret
         defer = self.defer_gather
 
+        sort_rays = self.sort_rays
+
         # one jitted entry per engine instance (statics close over the
         # mesh/config; the tables pytree stays a traced arg)
-        @jax.jit
-        def _frame(tables, cam, key, perm, inv, qpt=None):
-            return render_frame_sharded_fused(
-                tables, cam, key, cfg, mesh,
-                rows=rows, interpret=interpret, perm=perm, inv=inv,
-                defer_gather=defer, qpt=qpt)
+        if use_seg:
+            @jax.jit
+            def _frame(tables, cam, key, perm, inv, qpt=None):
+                return render_frame_sharded_segmented(
+                    tables, cam, key, cfg, mesh,
+                    rows=rows, schedule=schedule, sort_rays=sort_rays,
+                    interpret=interpret, perm=perm, inv=inv,
+                    defer_gather=defer, qpt=qpt)
+        else:
+            @jax.jit
+            def _frame(tables, cam, key, perm, inv, qpt=None):
+                return render_frame_sharded_fused(
+                    tables, cam, key, cfg, mesh,
+                    rows=rows, interpret=interpret, perm=perm, inv=inv,
+                    defer_gather=defer, qpt=qpt)
 
         self._frame_fn = _frame
 

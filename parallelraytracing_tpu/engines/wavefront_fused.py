@@ -102,12 +102,6 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
     last entry repeated to cover max_depth) overrides both.  RNG is
     keyed on (pixel, absolute depth), so any schedule renders the
     bit-identical image (tested)."""
-    t = tables
-    max_depth = cfg.max_depth
-    t_min, t_max = cfg.t_min, cfg.t_max
-    rr_depth = cfg.russian_roulette_depth
-    sky = t.sky
-    bb = t.bb
     r = o.shape[0]
     tile = rows * LANES
     pad = (-r) % tile
@@ -117,13 +111,38 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
         return jnp.pad(x, (0, pad), constant_values=c) if pad else x
 
     pix = padp(pix0, float(rp))  # pad slots scatter to the drop row
-    state = [padp(o[:, 0]), padp(o[:, 1]), padp(o[:, 2]),
-             padp(d[:, 0]), padp(d[:, 1]), padp(d[:, 2], 1.0),
+    o = jnp.stack([padp(o[:, 0]), padp(o[:, 1]), padp(o[:, 2])], axis=1)
+    d = jnp.stack([padp(d[:, 0]), padp(d[:, 1]), padp(d[:, 2], 1.0)],
+                  axis=1)
+    # Scatter slot = pixel id (output is pixel-ordered, length rp).
+    rad = _segmented_body(tables, o, d, pix, pix, jnp.int32(r), seed,
+                          rows, segment, cfg, interpret, sort_rays,
+                          first_segment, schedule, out_len=rp)
+    return rad[:r]
+
+
+def _segmented_body(tables, o, d, pix, loc, count, seed, rows: int,
+                    segment: int, cfg: RenderConfig, interpret: bool,
+                    sort_rays: str, first_segment: int, schedule: tuple,
+                    out_len: int):
+    """The segment loop on ALREADY-PADDED inputs (a tile multiple of
+    rows*128 rays).  `pix` (f32) keys the in-kernel RNG (GLOBAL pixel
+    ids — the invariance contract); `loc` (f32, exact ints < 2^24) are
+    the output scatter slots, letting a multi-chip caller scatter into
+    its device-LOCAL block while the RNG stays globally keyed.  Slots
+    >= out_len are dropped (padding).  Returns (out_len, 3) radiance."""
+    t = tables
+    max_depth = cfg.max_depth
+    t_min, t_max = cfg.t_min, cfg.t_max
+    rr_depth = cfg.russian_roulette_depth
+    sky = t.sky
+    rp = o.shape[0]
+    state = [o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2],
              jnp.ones(rp), jnp.ones(rp), jnp.ones(rp),      # throughput
              jnp.zeros(rp), jnp.zeros(rp), jnp.zeros(rp)]   # radiance
     alive_p = jnp.ones(rp)  # carries the NEE no-emit flag across segments
-    count = jnp.int32(r)
-    bb_lo, inv_ext = bb
+    bb_lo, inv_ext = t.bb
 
     seg_lens = []
     if schedule:
@@ -166,17 +185,18 @@ def segmented_trace(tables, o, d, pix0, seed, rows: int, segment: int,
             key = jnp.where(alive_b, key, jnp.int32(2**30))
             order = jnp.argsort(key)
             count = jnp.sum(alive_b.astype(jnp.int32))
-            mat = jnp.stack([pix, *state, alive_p], axis=1)
+            mat = jnp.stack([pix, loc, *state, alive_p], axis=1)
             mat = jnp.take(mat, order, axis=0)
             pix = mat[:, 0]
-            state = [mat[:, i + 1] for i in range(12)]
-            alive_p = mat[:, 13]
+            loc = mat[:, 1]
+            state = [mat[:, i + 2] for i in range(12)]
+            alive_p = mat[:, 14]
 
-    # One end-of-frame scatter puts radiance back in pixel order.
-    rad = jnp.zeros((rp + 1, 3), jnp.float32)  # slot rp = dropped pad
-    pidx = jnp.minimum(pix.astype(jnp.int32), rp)
-    rad = rad.at[pidx].add(jnp.stack(state[9:12], axis=1), mode="drop")
-    return rad[:r]
+    # One end-of-frame scatter puts radiance back in slot order.
+    rad = jnp.zeros((out_len + 1, 3), jnp.float32)  # last slot = dropped
+    lidx = jnp.minimum(loc.astype(jnp.int32), out_len)
+    rad = rad.at[lidx].add(jnp.stack(state[9:12], axis=1), mode="drop")
+    return rad[:out_len]
 
 
 @partial(jax.jit,

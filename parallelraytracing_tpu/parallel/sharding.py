@@ -247,3 +247,109 @@ def render_frame_sharded_fused(
     if inv is not None:
         return jnp.take(out, inv, axis=0) / n_spp
     return out[:r] / n_spp
+
+
+def render_frame_sharded_segmented(
+    tables,
+    cam_params: jax.Array,
+    key: jax.Array,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    rows: int = 24,
+    segment: int = 5,
+    schedule: tuple = (),
+    sort_rays: str = "octant",
+    interpret: bool = False,
+    perm: jax.Array | None = None,
+    inv: jax.Array | None = None,
+    defer_gather: bool = False,
+    qpt: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-chip frame through the SEGMENTED wavefront engine: each
+    ("px","spp") device runs the Pallas bounce-segment loop on its own
+    pixel block, compacting and Morton/octant re-sorting its pool
+    between segments DEVICE-LOCALLY (a per-shard argsort — no
+    collectives; the ray pool never crosses chips, exactly like the
+    reference's per-GPU wavefront queues, cuda_wavefront/renderer.h:100).
+    Sample streams psum over ICI as in render_frame_sharded_fused.
+
+    This is the multi-chip route for triangle-heavy scenes: the growing
+    segment schedule's mesh win (dragon 1517 -> 918 ms single-chip,
+    RESULTS.md) carries over per device.
+
+    Determinism contract: same as render_frame_sharded_fused — seeds
+    derive from the frame key only, the in-kernel RNG is keyed on
+    GLOBAL pixel ids (the compaction permutation provably cannot change
+    the image), so the image is bit-invariant to device count, shard
+    layout, perm, and the schedule; on a 1x1 mesh it is bit-identical
+    to the single-chip wavefront_fused engine (tested).
+
+    tables must be packed with allow_partial=False (the segment kernel
+    carries 14 ray planes and opts out of the hot/cold split —
+    engines/tables.build_scene_tables)."""
+    from parallelraytracing_tpu.engines.wavefront_fused import \
+        _segmented_body
+    from parallelraytracing_tpu.ops.pallas_trace import LANES
+    from parallelraytracing_tpu.ops.rays import (frame_stream_seeds,
+                                                 generate_camera_rays_ids)
+
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    r = cfg.pixel_count
+    tile = rows * LANES
+    blk = -(-r // n_px)
+    blk += (-blk) % tile  # per-device block must tile evenly
+    if perm is None:
+        perm = jnp.arange(n_px * blk, dtype=jnp.int32)
+    assert perm.shape == (n_px * blk,), (perm.shape, n_px * blk)
+
+    jseed0, seed0 = frame_stream_seeds(key)
+    jseed0 = jseed0.astype(jnp.int32)
+    if cfg.qmc:
+        from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
+        if qpt is None:
+            raise ValueError("cfg.qmc requires this sample's Halton "
+                             "point (qpt) — see ops/rays.halton_qpt")
+        jseed0 = qmc_rotation_seed(cfg.seed).astype(jnp.int32)
+
+    def trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt):
+        ids = ids.reshape(-1)
+        sstep = jnp.int32(0x632BE5AB)  # odd: distinct streams per spp shard
+        jseed = (jseed0 + spp_i * sstep).astype(jnp.uint32)
+        o, d = generate_camera_rays_ids(
+            cam, cfg.width, cfg.height, ids, None, cfg.jitter,
+            pix_seed=jseed, lens=cfg.lens, qpt=qpt)
+        pix = ids.astype(jnp.float32)      # global ids key the RNG
+        loc = jnp.arange(blk, dtype=jnp.float32)  # local scatter slots
+        # Out-of-range pad ids trace as dummy rays (at most one tile's
+        # worth on the last shard); their radiance scatters to slots the
+        # film layout never reads, so the first-segment launch bound is
+        # simply the whole block.
+        seed = (seed0 + spp_i * sstep)[None]
+        return _segmented_body(t, o, d, pix, loc, jnp.int32(blk), seed,
+                               rows, segment, cfg, interpret, sort_rays,
+                               0, tuple(schedule), out_len=blk)
+
+    if n_px == 1 and n_spp == 1:
+        out = trace_block(tables, cam_params, seed0, jseed0, perm,
+                          jnp.int32(0), qpt)
+    else:
+        if qpt is None:
+            qpt = jnp.zeros((4,), jnp.float32)  # unused (non-QMC)
+
+        def per_device(t, cam, seed0, jseed0, ids, qpt):
+            spp_i = jax.lax.axis_index("spp").astype(jnp.int32)
+            rad = trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt)
+            return jax.lax.psum(rad, axis_name="spp")
+
+        shard = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("px"), P()),
+            out_specs=P("px", None),
+            check_vma=False)
+        out = shard(tables, cam_params, seed0, jseed0, perm, qpt)
+    if defer_gather:
+        return out / n_spp
+    if inv is not None:
+        return jnp.take(out, inv, axis=0) / n_spp
+    return out[:r] / n_spp

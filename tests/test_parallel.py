@@ -284,3 +284,70 @@ def test_sharded_engine_end_to_end():
     ref = np.asarray(film2.hdr_average())
     # different RNG streams: statistical agreement
     assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.1
+
+
+def test_sharded_segmented_bitmatches_wavefront_fused():
+    """The SEGMENTED multi-chip path (per-device compaction + re-sort
+    between bounce segments, render_frame_sharded_segmented): the
+    8-device image equals the single-chip wavefront_fused engine's BIT
+    FOR BIT — device-local argsort compaction cannot change pixel-keyed
+    streams, and the shard layout cannot change global pixel ids."""
+    from parallelraytracing_tpu.core.mesh import load_ply
+    mesh = load_ply("/root/reference/assets/models/icosahedron.ply")
+
+    def make():
+        s = Scene(preset=None)
+        m = s.add_lambertian((0.8, 0.3, 0.2))
+        s.add_mesh(mesh, m, ((1.5, 1.5, 1.5), (0, 20, 0), (0, 1, 0)))
+        g = s.add_lambertian((0.5, 0.5, 0.5))
+        s.add_quad(30, 30, g, None)
+        light = s.add_emissive((8, 8, 8))
+        s.add_sphere(1.0, light, ((1, 1, 1), (0, 0, 0), (3, 7, 3)))
+        return s
+
+    cfg = RenderConfig(width=48, height=32, max_depth=6, seed=7)
+    a = _render_engine("wavefront_fused", make(), cfg, rows=2, frames=2,
+                       segment=3)
+    b = _render_engine("sharded", make(), cfg, rows=2, frames=2,
+                       segmented="1")          # 8-device mesh
+    np.testing.assert_array_equal(a, b)
+    c = _render_engine("sharded", make(), cfg, rows=2, frames=2,
+                       segmented="1", devices=jax.devices()[:2])
+    np.testing.assert_array_equal(a, c)
+
+
+def test_sharded_segmented_instanced_scene():
+    """In-kernel TLAS/BLAS instancing under the segmented multi-chip
+    path: memory stays ∝ unique meshes and the image bit-matches the
+    single-chip segmented engine."""
+    from parallelraytracing_tpu.core.mesh import load_ply
+
+    def make():
+        mesh = load_ply("/root/reference/assets/models/icosahedron.ply")
+        s = Scene(preset=None)
+        red = s.add_lambertian((0.9, 0.2, 0.2))
+        s.add_mesh_instances(
+            mesh, red, [((1, 1, 1), (0, 30 * i, 0), (i * 3.0 - 3.0, 1, 0))
+                        for i in range(3)])
+        g = s.add_lambertian((0.5, 0.5, 0.5))
+        s.add_quad(30, 30, g, None)
+        light = s.add_emissive((10, 10, 10))
+        s.add_sphere(1.0, light, ((1, 1, 1), (0, 0, 0), (4, 8, 4)))
+        return s
+
+    cfg = RenderConfig(width=48, height=32, max_depth=4, seed=3,
+                       jitter=False)
+    from parallelraytracing_tpu import Film, create_renderer
+    film = Film(cfg.width, cfg.height)
+    r = create_renderer("sharded")
+    r.rows = 2
+    r.segmented = "1"
+    r.init(film, make(), default_camera(cfg.width, cfg.height), cfg)
+    assert r._tables.inst is not None
+    assert int(np.asarray(r._scene_data.tri_valid).sum()) == 0
+    for _ in range(2):
+        r.progressive_render()
+    a = np.asarray(film.hdr_average())
+    b = _render_engine("wavefront_fused", make(), cfg, rows=2, frames=2,
+                       segment=2)
+    np.testing.assert_array_equal(a, b)
