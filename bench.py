@@ -197,6 +197,9 @@ def main() -> None:
             "mrays": round(rays_per_frame / dt / 1e6, 3),
             "rays_per_frame": int(rays_per_frame),
             "ms_per_frame": round(dt * 1000.0, 2),
+            # 1 spp per progressive frame at this resolution, so
+            # spp/sec = frames/sec (a BASELINE.md reporting metric).
+            "spp_per_sec": round(1.0 / dt, 3),
             "ray_count_method": count_method,
         }
 
@@ -293,6 +296,42 @@ def main() -> None:
             except Exception as e:  # honest partial record
                 workloads[tag] = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- fidelity gate (BASELINE.md reporting metric: RMSE vs reference
+    # at equal spp).  The jnp bvh engine draws the SAME threefry streams
+    # as the megakernel oracle, so equal-spp RMSE measures pure numerics
+    # (target < 1e-3); fused draws its own in-kernel PCG streams, so its
+    # delta is Monte-Carlo noise that converges with spp.
+    fidelity = {}
+    if best_so_far:
+        best_so_far["detail"]["fidelity"] = fidelity
+    if os.environ.get("BENCH_FIDELITY", "1") != "0":
+        try:
+            fcfg = RenderConfig(width=128, height=96, max_depth=10, seed=0)
+            fscene = Scene(ScenePreset.MATERIAL_TEST)
+            fcam = Camera(np.array([5.0, 5.0, 8.0]),
+                          np.array([-5.0, -5.0, -8.0]), 128.0, 96.0, 100.0)
+            fspp = int(os.environ.get("BENCH_FIDELITY_SPP", "32"))
+
+            def frender(name):
+                film = Film(fcfg.width, fcfg.height)
+                r = create_renderer(name)
+                r.init(film, fscene, fcam, fcfg)
+                for _ in range(fspp):
+                    r.progressive_render()
+                return np.asarray(film.hdr_average())
+
+            oracle = frender("megakernel")
+            for name in ("bvh", "fused"):
+                img = frender(name)
+                fidelity[name] = {
+                    "rmse_hdr_vs_oracle": round(float(
+                        np.sqrt(np.mean((img - oracle) ** 2))), 6),
+                    "spp": fspp,
+                    "equal_streams": name == "bvh",
+                }
+        except Exception as e:
+            fidelity["error"] = f"{type(e).__name__}: {e}"
+
     mrays = results["reference_default"]["mrays"]
     print(json.dumps({
         "metric": "Mrays_per_sec_per_chip",
@@ -307,6 +346,7 @@ def main() -> None:
             "camera": "reference_default (eye (5,5,8), main.cpp:142-150)",
             "views": results,
             "workloads": workloads,
+            "fidelity": fidelity,
             "device": str(jax.devices()[0]),
         },
     }))
