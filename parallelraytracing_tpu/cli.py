@@ -28,8 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default="random_balls_large",
                    help="preset name (default, light_test, material_test, "
                         "cornell, random_balls_{small,medium,large}, or "
-                        "the extension demo texture_demo — checkered "
-                        "floor, pairs well with --lens-radius)")
+                        "the extension demos: texture_demo — checkered "
+                        "floor, pairs well with --lens-radius; sky_demo — "
+                        "gradient + analytic-sun sky, Scene.set_sky)")
     p.add_argument("--ply", default=None,
                    help="render a PLY mesh instead of a preset")
     p.add_argument("--engine", default="auto",

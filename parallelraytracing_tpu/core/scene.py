@@ -63,6 +63,9 @@ class ScenePreset(enum.Enum):
     #: row at staggered depths — exercises procedural textures in every
     #: engine and reads well with --lens-radius (thin-lens DoF)
     TEXTURE_DEMO = "texture_demo"
+    #: extension preset: gradient + analytic-sun sky (Scene.set_sky)
+    #: over a mirror/glass sphere field — runs in-kernel in every engine
+    SKY_DEMO = "sky_demo"
 
 
 @jax.tree_util.register_dataclass
@@ -105,6 +108,15 @@ class SceneData:
 
     # Sky radiance added on ray escape (cuda_megakernel/renderer.cu:159).
     sky: jax.Array  # (3,)
+
+    # --- Sky-model extension (None = the reference's constant sky, and
+    # the pytree structure compiles the directional math away).
+    # sky_top: horizon->zenith gradient top color (the RTiOW lerp on the
+    # normalized ray y; `sky` is then the bottom/horizon color).
+    # sun: (9,) = [dir(3, unit), color(3), power, 0, 0] — an analytic sun
+    # disc added on top: color * max(dot(d_hat, dir), 0)^power.
+    sky_top: Optional[jax.Array] = None  # (3,)
+    sun: Optional[jax.Array] = None      # (9,)
 
     # --- Texture extension (None on untextured scenes, so the pytree
     # STRUCTURE tells jit to elide every texture op for free).  The
@@ -187,11 +199,48 @@ class Scene:
         self.sky_light_intensity = 1.0
         self.use_sky_intensity = False
         self.sky_color = np.array(DEFAULT_SKY, dtype=np.float64)
+        # Sky-model extension (set_sky): None = the reference constant.
+        self.sky_top: Optional[np.ndarray] = None
+        self.sun_spec: Optional[Tuple[np.ndarray, np.ndarray, int]] = None
 
         self._cache: Optional[SceneData] = None
 
         if preset is not None:
             _PRESET_BUILDERS[preset](self)
+
+    # ----------------------------------------------------------------- sky
+    def set_sky(self, bottom=None, top=None, sun_direction=None,
+                sun_color=None, sun_power: int = 32) -> None:
+        """Sky-model extension (the reference hardcodes one constant in
+        four places — cpu/renderer.h:31, cuda_megakernel/renderer.cu:159,
+        cuda_wavefront/renderer.cu:404, optix/renderer.cpp:41-43):
+
+        - bottom: horizon color (replaces sky_color; alone = constant).
+        - top: zenith color — enables the RTiOW-style gradient
+          lerp(bottom, top, 0.5*(d_hat.y + 1)).
+        - sun_direction/sun_color/sun_power: an analytic sun disc
+          color * max(dot(d_hat, dir), 0)^power added on top.  power
+          must be a positive int (the Pallas kernels unroll it as
+          static binary exponentiation).
+
+        Runs in EVERY engine, including in-kernel; scenes that never
+        call this compile the directional math away and stay
+        bit-identical to the reference semantics."""
+        self._cache = None
+        if bottom is not None:
+            self.sky_color = np.asarray(bottom, dtype=np.float64)
+        self.sky_top = (None if top is None
+                        else np.asarray(top, dtype=np.float64))
+        if sun_direction is not None:
+            d = np.asarray(sun_direction, dtype=np.float64)
+            d = d / np.linalg.norm(d)
+            c = np.asarray(sun_color if sun_color is not None
+                           else (1.0, 1.0, 1.0), dtype=np.float64)
+            p = int(sun_power)
+            assert p >= 1, "sun_power must be a positive integer"
+            self.sun_spec = (d, c, p)
+        else:
+            self.sun_spec = None
 
     # ------------------------------------------------------------ materials
     def _add_material(self, mtype: int, albedo=(0, 0, 0), rough=0.0,
@@ -474,6 +523,10 @@ class Scene:
             mat_emit=f32(self._mat_emit),
             sky=f32(self.sky_color * (self.sky_light_intensity
                                       if self.use_sky_intensity else 1.0)),
+            sky_top=(None if self.sky_top is None else f32(self.sky_top)),
+            sun=(None if self.sun_spec is None else f32(np.concatenate([
+                self.sun_spec[0], self.sun_spec[1],
+                [float(self.sun_spec[2]), 0.0, 0.0]]))),
             **tex_kw,
         )
         if bake_instances:
@@ -597,6 +650,29 @@ def _init_texture_demo(scene: Scene) -> None:
     scene.add_sphere(2.0, light, ((1, 1, 1), (0, 0, 0), (0.0, 12.0, 0.0)))
 
 
+def _init_sky_demo(scene: Scene) -> None:
+    """Extension demo (no reference analogue): the RTiOW gradient sky
+    plus an analytic sun disc (Scene.set_sky) lighting a mirror/glass
+    sphere field on a soft-gray floor — specular paths pick the sun up
+    as sharp highlights while diffuse surfaces read the gradient."""
+    scene.set_sky(bottom=(1.0, 1.0, 1.0), top=(0.35, 0.55, 0.95),
+                  sun_direction=(0.45, 0.65, 0.35),
+                  sun_color=(14.0, 12.0, 9.0), sun_power=256)
+    ground = scene.add_lambertian((0.55, 0.55, 0.55))
+    scene.add_quad(80, 80, ground, None)
+    mirror = scene.add_metal((0.95, 0.95, 0.95), 0.02)
+    brushed = scene.add_metal((0.8, 0.65, 0.4), 0.25)
+    glass = scene.add_dielectric(1.5)
+    scene.add_sphere(2.0, mirror, ((1, 1, 1), (0, 0, 0), (-4.5, 2.0, 0)))
+    scene.add_sphere(2.0, glass, ((1, 1, 1), (0, 0, 0), (0.0, 2.0, 1.5)))
+    scene.add_sphere(2.0, brushed, ((1, 1, 1), (0, 0, 0), (4.5, 2.0, 0)))
+    for i in range(6):
+        tint = scene.add_lambertian((0.25 + 0.1 * i, 0.4, 0.7 - 0.08 * i))
+        scene.add_sphere(0.7, tint,
+                         ((1, 1, 1), (0, 0, 0),
+                          (-5.0 + 2.0 * i, 0.7, 4.5)))
+
+
 _PRESET_BUILDERS = {
     ScenePreset.DEFAULT: _init_default,
     ScenePreset.LIGHT_TEST: _init_light_test,
@@ -606,6 +682,7 @@ _PRESET_BUILDERS = {
     ScenePreset.RANDOM_BALLS_MEDIUM: lambda s: _init_random_balls(s, 400),
     ScenePreset.RANDOM_BALLS_LARGE: lambda s: _init_random_balls(s, 800),
     ScenePreset.TEXTURE_DEMO: _init_texture_demo,
+    ScenePreset.SKY_DEMO: _init_sky_demo,
 }
 
 

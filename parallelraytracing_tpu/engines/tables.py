@@ -79,6 +79,26 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _sky_spec(scene, host_scene):
+    """The kernel's STATIC sky spec: a 3-tuple keeps the reference's
+    constant-sky path byte-identical; scenes using Scene.set_sky extend
+    it to a 13-tuple (bottom3, top3, sun_dir3, sun_color3, power) the
+    miss block compiles directionally (ops/pallas_trace.py)."""
+    bot = tuple(float(x) for x in np.asarray(host_scene.sky))
+    top = getattr(scene, "sky_top", None)
+    sun = getattr(scene, "sun_spec", None)
+    if top is None and sun is None:
+        return bot
+    top = bot if top is None else tuple(float(x) for x in top)
+    if sun is None:
+        sd, sc, p = (0.0, 1.0, 0.0), (0.0, 0.0, 0.0), 1
+    else:
+        sd = tuple(float(x) for x in sun[0])
+        sc = tuple(float(x) for x in sun[1])
+        p = int(sun[2])
+    return bot + top + sd + sc + (p,)
+
+
 def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
                        vmem_threshold: int = 2048, eye=None,
                        allow_partial: bool = True):
@@ -211,7 +231,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         vmem_kinds=(kinds[0], kinds[1], tri_vm),
         itri_vmem=itri_vm,
         nee=nee,
-        sky=tuple(float(x) for x in np.asarray(host_scene.sky)),
+        sky=_sky_spec(scene, host_scene),
         bb=(tuple(float(x) for x in lo),
             tuple(float(1.0 / x) for x in ext)),
         tail_roots=tuple(int(x) for x in tail_roots),

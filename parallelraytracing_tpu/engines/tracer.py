@@ -72,8 +72,9 @@ def trace_paths(
         hit = intersect(scene, o, d)
 
         miss = alive & ~hit.hit
+        from parallelraytracing_tpu.ops.sky import sky_radiance
         radiance = radiance + jnp.where(
-            miss[:, None], throughput * scene.sky, 0.0)
+            miss[:, None], throughput * sky_radiance(scene, d), 0.0)
 
         lit = alive & hit.hit
         radiance = radiance + jnp.where(

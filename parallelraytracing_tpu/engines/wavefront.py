@@ -121,7 +121,9 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
             # --- ShadeHitsKernel analogue (renderer.cu:274-335)
             miss = in_queue & ~hit.hit
             lit = in_queue & hit.hit
-            add = jnp.where(miss[:, None], thr * scene.sky, 0.0)
+            from parallelraytracing_tpu.ops.sky import sky_radiance
+            add = jnp.where(miss[:, None], thr * sky_radiance(scene, dt),
+                            0.0)
             emit_ok = lit & ~no_emit[safe]
             add = add + jnp.where(emit_ok[:, None],
                                   thr * emitted(scene, hit.mat), 0.0)

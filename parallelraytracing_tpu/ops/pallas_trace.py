@@ -1840,9 +1840,33 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         # miss: sky * throughput, kill (cuda_megakernel/renderer.cu:98-101)
         miss = alive_b & ~hit
         mw = miss.astype(jnp.float32)
-        rr = rr + mw * tr * sky[0]
-        rg = rg + mw * tg * sky[1]
-        rb = rb + mw * tb * sky[2]
+        if len(sky) == 3:  # the reference's constant sky
+            sk0, sk1, sk2 = sky[0], sky[1], sky[2]
+        else:
+            # Directional sky spec (13-tuple from engines.tables._sky_spec):
+            # gradient lerp on the normalized y + static-power sun disc —
+            # same math as ops/sky.sky_radiance, so jnp engines agree.
+            (b0, b1, b2, tp0, tp1, tp2,
+             sd0, sd1, sd2, sc0, sc1, sc2, spow) = sky
+            inv_l = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            tmix = 0.5 * (dy * inv_l + 1.0)
+            sk0 = b0 + tmix * (tp0 - b0)
+            sk1 = b1 + tmix * (tp1 - b1)
+            sk2 = b2 + tmix * (tp2 - b2)
+            if sc0 or sc1 or sc2:
+                cosang = jnp.maximum(
+                    (dx * sd0 + dy * sd1 + dz * sd2) * inv_l, 0.0)
+                w, p, base = f0 + 1.0, int(spow), cosang
+                while p:  # static binary exponentiation
+                    if p & 1:
+                        w = w * base
+                    base, p = base * base, p >> 1
+                sk0 = sk0 + w * sc0
+                sk1 = sk1 + w * sc1
+                sk2 = sk2 + w * sc2
+        rr = rr + mw * tr * sk0
+        rg = rg + mw * tg * sk1
+        rb = rb + mw * tb * sk2
 
         # emission before the scatter test (material.h:119-132); the
         # compressed record stores emission in c0..c2 for emissive
