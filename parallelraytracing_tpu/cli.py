@@ -89,6 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=2.2)
     p.add_argument("--out", default="render.png")
+    p.add_argument("--hdr-out", default=None, metavar="PATH.pfm",
+                   help="also write the linear HDR average as a Portable "
+                        "Float Map (lossless float; the reference only "
+                        "exposes its tonemapped u8 buffer)")
     p.add_argument("--checkpoint", default=None,
                    help="save film state here after rendering")
     p.add_argument("--resume", default=None,
@@ -206,6 +210,10 @@ def main(argv=None) -> int:
             film.save_png(args.out, args.exposure, args.gamma)
     print(f"wrote {args.out}"
           + (f" (denoised x{args.denoise})" if args.denoise else ""))
+
+    if args.hdr_out:
+        film.save_pfm(args.hdr_out)
+        print(f"wrote linear HDR {args.hdr_out}")
 
     if args.checkpoint:
         film.save_checkpoint(args.checkpoint,

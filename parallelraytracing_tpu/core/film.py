@@ -213,6 +213,18 @@ class Film:
         from parallelraytracing_tpu.utils.png import write_png
         write_png(path, img)
 
+    def save_pfm(self, path: str) -> None:
+        """Write the linear HDR average as a Portable Float Map (PF,
+        little-endian) — lossless float output for compositing/grading
+        pipelines; the reference can only show its tonemapped u8 buffer
+        (film.cu:101-132).  PFM stores rows bottom-to-top."""
+        img = np.asarray(self.hdr_average(), dtype=np.float32)
+        with open(path, "wb") as f:
+            f.write(b"PF\n")
+            f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+            f.write(b"-1.0\n")  # negative scale = little-endian
+            f.write(np.ascontiguousarray(img[::-1]).tobytes())
+
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str, frame_index: int = 0) -> None:
         # Checkpoints are CANONICAL (pixel-order) regardless of storage

@@ -125,3 +125,25 @@ def test_film_layout_roundtrip_preserves_content():
     assert film.accum.shape == (h, w, 3)
     np.testing.assert_allclose(np.asarray(film.hdr_average()), want,
                                rtol=1e-6)
+
+
+def test_save_pfm_roundtrip(tmp_path):
+    """Linear HDR output (--hdr-out): PF header, bottom-to-top rows,
+    little-endian floats equal to hdr_average exactly."""
+    import numpy as np
+
+    from parallelraytracing_tpu import Film
+
+    film = Film(8, 4)
+    rgb = np.arange(8 * 4 * 3, dtype=np.float32).reshape(32, 3)
+    film.add_sample_buffer(rgb, weight=2.0)
+    p = tmp_path / "out.pfm"
+    film.save_pfm(str(p))
+    with open(p, "rb") as f:
+        assert f.readline() == b"PF\n"
+        w, h = map(int, f.readline().split())
+        assert (w, h) == (8, 4)
+        assert float(f.readline()) == -1.0
+        data = np.frombuffer(f.read(), "<f4").reshape(h, w, 3)[::-1]
+    np.testing.assert_array_equal(data,
+                                  np.asarray(film.hdr_average()))
