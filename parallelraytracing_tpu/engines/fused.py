@@ -104,6 +104,18 @@ class FusedRenderer(Renderer):
     #: tables repack on set_camera.
     front_to_back: bool = os.environ.get("PRT_F2B", "1") != "0"
 
+    #: depth-sorted ray tiles: a one-shot PROBE frame (kernel depth_out)
+    #: measures each ray's termination depth, and pixel ids are reordered
+    #: so tiles die TOGETHER — the straggler lanes that keep half the
+    #: tiles alive the full bounce budget (trace_stats, RESULTS.md) pack
+    #: into a few dense tiles.  Pixel-keyed RNG makes ANY ray order
+    #: bit-identical, so this is pure scheduling.  Re-probes on camera
+    #: change.  0 = off; 1 = global (depth major, Morton minor — trades
+    #: ALL spatial coherence for tile death); >= 8 = log2 rays per
+    #: Morton BLOCK, depth-sorting only within each screen block (keeps
+    #: coherence, dies locally).
+    depth_sort: int = int(os.environ.get("PRT_DEPTH_SORT", "0"))
+
     def set_camera(self, camera) -> None:
         super().set_camera(camera)
         if self.front_to_back and hasattr(self, "_tables"):
@@ -118,6 +130,13 @@ class FusedRenderer(Renderer):
                     and not np.array_equal(eye,
                                            getattr(self, "_pack_eye", None))):
                 self._pack_tables()
+        if self.depth_sort and hasattr(self, "_ids"):
+            # The depth field is camera-dependent: re-probe and refresh
+            # the film's shard-order layout (the film is cleared on
+            # camera move anyway — main.cpp:506-511 semantics).
+            self._depth_reorder()
+            if getattr(self, "_film", None) is not None:
+                self._film.set_layout(self.film_layout())
 
     def _post_init(self) -> None:
         self._pack_tables()
@@ -139,6 +158,44 @@ class FusedRenderer(Renderer):
         self._ids = jax.device_put(jnp.asarray(np.concatenate(
             [perm, np.arange(r, r + pad)]).astype(np.int32)))
         self._minv = jnp.asarray(inv)
+        if self.depth_sort:
+            self._depth_reorder()
+
+    def _depth_reorder(self) -> None:
+        """Probe one frame for per-ray termination depth and re-permute
+        the pixel ids (depth major, current rank minor) + the film's
+        inverse layout.  Frame-0 jitter stands in for every frame's (the
+        depth field is camera-dominated); image bit-identity is by the
+        pixel-keyed RNG (tested)."""
+        from parallelraytracing_tpu.engines.tables import trace_tables
+        cfg = self.config
+        skey = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                               jnp.uint32(0)), jnp.uint32(0))
+        jseed, s0 = frame_stream_seeds(skey)
+        if cfg.qmc:
+            jseed = self._qseed
+        o, d = raygen_ids(self._cam_params, self._ids, jseed,
+                          cfg.width, cfg.height, cfg.jitter, cfg.lens,
+                          self._qpt(0, 0))
+        _, dd = trace_tables(self._tables, o, d,
+                             self._ids.astype(jnp.float32), s0[None],
+                             self.rows, cfg, self._interpret,
+                             depth_out=True)
+        rp = int(self._ids.shape[0])
+        rank = jnp.arange(rp, dtype=jnp.int32)
+        ddc = jnp.clip(dd.astype(jnp.int32), 0, 31)
+        if self.depth_sort >= 8:
+            # depth-sort WITHIN 2^B-ray Morton blocks (stable argsort
+            # keeps the Morton order inside equal keys)
+            key = ((rank >> self.depth_sort) << 5) | ddc
+        else:
+            key = ddc * jnp.int32(rp) + rank  # global depth major
+        order = jnp.argsort(key)
+        self._ids = jnp.take(self._ids, order)
+        r = cfg.pixel_count
+        self._minv = jnp.zeros(r, jnp.int32).at[self._ids].set(
+            jnp.arange(rp, dtype=jnp.int32), mode="drop")
 
     def film_layout(self):
         return self._minv, int(self._ids.shape[0])

@@ -249,7 +249,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
 
 def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
                  cfg: RenderConfig, interpret: bool,
-                 sub_rows: int = 0, collect_stats: bool = False):
+                 sub_rows: int = 0, collect_stats: bool = False,
+                 depth_out: bool = False):
     """pallas_trace with every feature flag routed from the table struct —
     the single calling convention all fused-kernel engines share."""
     from parallelraytracing_tpu.ops.pallas_trace import pallas_trace
@@ -261,4 +262,4 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         itri_vmem=t.itri_vmem, sub_rows=sub_rows,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
-        tri_hot=t.tri_hot, checker=t.checker)
+        tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out)

@@ -2085,7 +2085,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        sub_rows=0, collect_stats=False,
                        tri_split=False, itri_split=False,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
-                       tri_part=False, checker: tuple = ()):
+                       tri_part=False, checker: tuple = (),
+                       depth_out=False):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -2112,6 +2113,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
         else:
             stack_ref = rest.pop()
             stats_out = stats_scr = None
+        dd_ref = rest.pop() if depth_out else None
         tri_cold_get = None
         if tri_split:
             tri_cold_get = make_reader(rest.pop(0), True)
@@ -2194,7 +2196,32 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                                         state)
                 return bounce
 
-            if tail:
+            if depth_out:
+                # Per-ray termination depth (bounces the lane entered
+                # alive) — the depth-sort probe output (engines/fused.py
+                # PRT_DEPTH_SORT).  One add per bounce per lane.
+                def with_depth(b):
+                    def bounce2(depth, carry):
+                        st, dd = carry
+                        dd = dd + (st[12] > 0.0).astype(jnp.float32)
+                        return (b(depth, st), dd)
+                    return bounce2
+                # init from a real vector (not a replicated splat):
+                # Mosaic rejects the replicated->concrete relayout a
+                # plain zeros init needs in the loop carry on TPU.
+                carry = (state, state[0] * 0.0)
+                if tail:
+                    carry = jax.lax.fori_loop(
+                        0, tail_depth, with_depth(make_bounce(step)), carry)
+                    carry = jax.lax.fori_loop(
+                        tail_depth, max_depth,
+                        with_depth(make_bounce(step_tail)), carry)
+                else:
+                    carry = jax.lax.fori_loop(
+                        0, max_depth, with_depth(make_bounce(step)), carry)
+                state, ddv = carry
+                dd_ref[sl, :] = ddv
+            elif tail:
                 state = jax.lax.fori_loop(0, tail_depth,
                                           make_bounce(step), state)
                 state = jax.lax.fori_loop(tail_depth, max_depth,
@@ -2232,7 +2259,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
-                     "tail_roots", "tail_depth", "checker"))
+                     "tail_roots", "tail_depth", "checker", "depth_out"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -2247,6 +2274,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  tri_cold=None, itri_cold=None,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  tri_hot=None, checker: tuple = (),
+                 depth_out: bool = False,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -2283,7 +2311,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 itri_cold is not None,
                                 tail_roots, tail_depth,
                                 tri_part=tri_hot is not None,
-                                checker=checker)
+                                checker=checker, depth_out=depth_out)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2312,9 +2340,10 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         if itri_cold is not None:
             inst_arrays.append(itri_cold)
             inst_specs.append(vmem_full)
-    out_specs = [ray_spec] * 3
+    n_out = 4 if depth_out else 3
+    out_specs = [ray_spec] * n_out
     out_shape = [jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
-                 ] * 3
+                 ] * n_out
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
     if collect_stats:
         out_specs.append(pl.BlockSpec((8, LANES), lambda i: (i, 0),
@@ -2337,8 +2366,12 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
     rr, rg, rb = out[:3]
     rad = jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
     if collect_stats:
-        stats = out[3].reshape(n_tiles, 8, LANES)[:, 0, :8]
+        stats = out[n_out].reshape(n_tiles, 8, LANES)[:, 0, :8]
+        if depth_out:
+            return rad, out[3].reshape(r), stats
         return rad, stats
+    if depth_out:
+        return rad, out[3].reshape(r)
     return rad
 
 

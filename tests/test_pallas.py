@@ -793,3 +793,32 @@ def test_set_camera_repack_policy():
     assert r._tables is t0
     r.set_camera(cam([9.0, 5.0, 9.0]))
     assert r._tables is not t0
+
+
+def test_depth_sort_is_bit_invariant():
+    """PRT_DEPTH_SORT (depth-probe ray reordering, engines/fused.py):
+    any per-frame ray permutation renders the bit-identical image by the
+    pixel-keyed RNG contract — global and block-local variants both."""
+    import numpy as np
+
+    from parallelraytracing_tpu import Film, RenderConfig, Scene, ScenePreset
+    from parallelraytracing_tpu.core.camera import default_camera
+    from parallelraytracing_tpu.engines.fused import FusedRenderer
+
+    cfg = RenderConfig(width=64, height=32, max_depth=5, seed=2)
+    scene = Scene(ScenePreset.MATERIAL_TEST)
+    cam = default_camera(cfg.width, cfg.height)
+
+    def render(ds):
+        film = Film(cfg.width, cfg.height)
+        r = FusedRenderer.__new__(FusedRenderer)
+        r.rows = 8
+        r.depth_sort = ds
+        r.init(film, scene, cam, cfg)
+        for _ in range(2):
+            r.progressive_render()
+        return np.asarray(film.hdr_average())
+
+    a = render(0)
+    np.testing.assert_array_equal(a, render(1))    # global depth major
+    np.testing.assert_array_equal(a, render(10))   # block-local
