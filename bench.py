@@ -228,15 +228,11 @@ def main() -> None:
 
         def mesh_scene(name):
             def build():
-                mesh = load_ply(f"/root/reference/assets/models/{name}.ply")
-                s = Scene(preset=None)
-                mat = s.add_lambertian((0.75, 0.65, 0.5))
-                s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
-                ground = s.add_lambertian((0.5, 0.5, 0.5))
-                s.add_quad(100, 100, ground, None)
-                light = s.add_emissive((12, 12, 12))
-                s.add_sphere(3.0, light,
-                             ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+                # ONE recipe with cli/viewer --ply (core/scene.py)
+                from parallelraytracing_tpu.core.scene import \
+                    ply_showcase_scene
+                s, _, _ = ply_showcase_scene(
+                    f"/root/reference/assets/models/{name}.ply")
                 return s
             return build
 

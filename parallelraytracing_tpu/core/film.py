@@ -223,7 +223,7 @@ class Film:
             f.write(b"PF\n")
             f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
             f.write(b"-1.0\n")  # negative scale = little-endian
-            f.write(np.ascontiguousarray(img[::-1]).tobytes())
+            f.write(np.ascontiguousarray(img[::-1]).astype("<f4").tobytes())
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str, frame_index: int = 0) -> None:

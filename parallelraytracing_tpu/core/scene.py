@@ -233,7 +233,10 @@ class Scene:
                         else np.asarray(top, dtype=np.float64))
         if sun_direction is not None:
             d = np.asarray(sun_direction, dtype=np.float64)
-            d = d / np.linalg.norm(d)
+            n = np.linalg.norm(d)
+            if n < 1e-12:
+                raise ValueError("set_sky: sun_direction must be non-zero")
+            d = d / n
             c = np.asarray(sun_color if sun_color is not None
                            else (1.0, 1.0, 1.0), dtype=np.float64)
             p = int(sun_power)
@@ -507,6 +510,8 @@ class Scene:
             tex_kw["tri_uv1"] = uv_col(8)
             tex_kw["tri_uv2"] = uv_col(9)
 
+        _sky_scale = (self.sky_light_intensity
+                      if self.use_sky_intensity else 1.0)
         data = SceneData(
             sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
             sph_valid=jnp.asarray(sph_valid),
@@ -521,11 +526,13 @@ class Scene:
             mat_rough=f32(self._mat_rough),
             mat_ior=f32(self._mat_ior),
             mat_emit=f32(self._mat_emit),
-            sky=f32(self.sky_color * (self.sky_light_intensity
-                                      if self.use_sky_intensity else 1.0)),
-            sky_top=(None if self.sky_top is None else f32(self.sky_top)),
+            # The intensity quirk (scene.h:61, never consumed by the
+            # reference) scales the WHOLE sky model uniformly.
+            sky=f32(self.sky_color * _sky_scale),
+            sky_top=(None if self.sky_top is None
+                     else f32(self.sky_top * _sky_scale)),
             sun=(None if self.sun_spec is None else f32(np.concatenate([
-                self.sun_spec[0], self.sun_spec[1],
+                self.sun_spec[0], self.sun_spec[1] * _sky_scale,
                 [float(self.sun_spec[2]), 0.0, 0.0]]))),
             **tex_kw,
         )

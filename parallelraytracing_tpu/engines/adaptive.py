@@ -62,6 +62,10 @@ class AdaptiveRenderer(FusedRenderer):
 
     name = "adaptive"
 
+    #: the depth-probe reorder is untested against the variance-slot
+    #: bookkeeping below — keep it off here (set explicitly to combine)
+    depth_sort: int = 0
+
     #: full-frame warmup passes that seed the variance estimate
     warmup: int = int(os.environ.get("PRT_ADAPT_WARMUP", "4"))
     #: fraction of the frame traced per adaptive pass

@@ -133,10 +133,13 @@ class FusedRenderer(Renderer):
         if self.depth_sort and hasattr(self, "_ids"):
             # The depth field is camera-dependent: re-probe and refresh
             # the film's shard-order layout (the film is cleared on
-            # camera move anyway — main.cpp:506-511 semantics).
-            self._depth_reorder()
-            if getattr(self, "_film", None) is not None:
-                self._film.set_layout(self.film_layout())
+            # camera move anyway — main.cpp:506-511 semantics).  Skip
+            # when the eye didn't move (warm-engine cache re-selection).
+            eye = np.asarray(self._camera.position, np.float64)
+            if not np.array_equal(eye, getattr(self, "_probe_eye", None)):
+                self._depth_reorder()
+                if getattr(self, "_film", None) is not None:
+                    self._film.set_layout(self.film_layout())
 
     def _post_init(self) -> None:
         self._pack_tables()
@@ -182,6 +185,8 @@ class FusedRenderer(Renderer):
                              self._ids.astype(jnp.float32), s0[None],
                              self.rows, cfg, self._interpret,
                              depth_out=True)
+        self._probe_eye = np.asarray(self._camera.position,
+                                     np.float64).copy()
         rp = int(self._ids.shape[0])
         rank = jnp.arange(rp, dtype=jnp.int32)
         ddc = jnp.clip(dd.astype(jnp.int32), 0, 31)

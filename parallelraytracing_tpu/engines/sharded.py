@@ -62,33 +62,47 @@ class ShardedRenderer(FusedRenderer):
     segmented: str = os.environ.get("PRT_SHARDED_SEGMENTED", "auto")
     sort_rays: str = os.environ.get("PRT_SORT", "octant")
 
+    #: the fused depth-probe reordering acts on _ids, which the sharded
+    #: frame path never consumes (_sperm drives raygen) — keep it off.
+    depth_sort: int = 0
+
     def film_layout(self):
         if not self.defer_gather:
             return None
         return self._sinv, int(self._sperm.shape[0])
+
+    def _pack_tables(self) -> None:
+        # Segmented route: pack ONCE with the segment kernel's table
+        # shape (allow_partial=False — it carries 14 ray planes and the
+        # hot/cold split would blow the scoped-VMEM limit; no
+        # front-to-back eye order, SAH trees are static) instead of
+        # building the fused pack and discarding it.
+        if getattr(self, "_use_seg", False):
+            from parallelraytracing_tpu.engines.tables import \
+                build_scene_tables
+            self._tables, self._scene_data = build_scene_tables(
+                self._scene, self.config, accel=self.accel,
+                vmem_threshold=self.vmem_threshold, allow_partial=False)
+            self._pack_eye = None
+        else:
+            super()._pack_tables()
 
     def _post_init(self) -> None:
         from parallelraytracing_tpu.ops.pallas_trace import LANES
         from parallelraytracing_tpu.parallel.sharding import (
             make_render_mesh, render_frame_sharded_fused,
             render_frame_sharded_segmented)
-        super()._post_init()  # packs self._tables (full fused feature set)
 
         n_tri = len(self._scene._tri) + sum(
             len(m.indices) // 3
             for m in getattr(self._scene, "_inst_meshes", []))
         use_seg = (n_tri > 512 if self.segmented == "auto"
                    else self.segmented not in ("0", "", "none"))
+        self._use_seg = use_seg
+        super()._post_init()  # packs self._tables (route-aware, above)
+
         schedule = ()
         if use_seg:
-            # The segment kernel carries 14 ray planes and opts out of
-            # the hot/cold triangle split (compile-memory bound) — same
-            # table shape wavefront_fused uses.
-            from parallelraytracing_tpu.engines.tables import \
-                build_scene_tables
-            self._tables, self._scene_data = build_scene_tables(
-                self._scene, self.config, accel=self.accel,
-                vmem_threshold=self.vmem_threshold, allow_partial=False)
             d = self.config.max_depth
             if d > 10:
                 schedule = (2, 4, d - 6)

@@ -79,23 +79,26 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _sky_spec(scene, host_scene):
+def _sky_spec(host_scene):
     """The kernel's STATIC sky spec: a 3-tuple keeps the reference's
     constant-sky path byte-identical; scenes using Scene.set_sky extend
     it to a 13-tuple (bottom3, top3, sun_dir3, sun_color3, power) the
-    miss block compiles directionally (ops/pallas_trace.py)."""
+    miss block compiles directionally (ops/pallas_trace.py).  Reads the
+    SceneData fields (already sky_light_intensity-scaled uniformly) so
+    jnp engines and kernels agree."""
     bot = tuple(float(x) for x in np.asarray(host_scene.sky))
-    top = getattr(scene, "sky_top", None)
-    sun = getattr(scene, "sun_spec", None)
+    top = host_scene.sky_top
+    sun = host_scene.sun
     if top is None and sun is None:
         return bot
-    top = bot if top is None else tuple(float(x) for x in top)
+    top = bot if top is None else tuple(float(x) for x in np.asarray(top))
     if sun is None:
         sd, sc, p = (0.0, 1.0, 0.0), (0.0, 0.0, 0.0), 1
     else:
-        sd = tuple(float(x) for x in sun[0])
-        sc = tuple(float(x) for x in sun[1])
-        p = int(sun[2])
+        sun = np.asarray(sun)
+        sd = tuple(float(x) for x in sun[0:3])
+        sc = tuple(float(x) for x in sun[3:6])
+        p = int(sun[6])
     return bot + top + sd + sc + (p,)
 
 
@@ -231,7 +234,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         vmem_kinds=(kinds[0], kinds[1], tri_vm),
         itri_vmem=itri_vm,
         nee=nee,
-        sky=_sky_spec(scene, host_scene),
+        sky=_sky_spec(host_scene),
         bb=(tuple(float(x) for x in lo),
             tuple(float(1.0 / x) for x in ext)),
         tail_roots=tuple(int(x) for x in tail_roots),

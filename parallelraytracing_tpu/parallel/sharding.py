@@ -136,48 +136,24 @@ def render_frame_sharded_jit(scene, cam_params, key, cfg, mesh, qpt=None):
     return render_frame_sharded(scene, cam_params, key, cfg, mesh, qpt)
 
 
-def render_frame_sharded_fused(
-    tables,
-    cam_params: jax.Array,
-    key: jax.Array,
-    cfg: RenderConfig,
-    mesh: Mesh,
-    rows: int = 2,
-    interpret: bool = False,
-    perm: jax.Array | None = None,
-    inv: jax.Array | None = None,
-    defer_gather: bool = False,
-    qpt: jax.Array | None = None,
-) -> jax.Array:
-    """Multi-chip frame through the fused Pallas kernel at FULL feature
-    parity with the single-chip fused engine: each ("px","spp") device
-    runs the VMEM-resident megakernel — including NEE, hot/cold triangle
-    split and in-kernel TLAS/BLAS instancing — on its pixel block, and
-    the spp-axis sample streams psum over ICI.
+def _sharded_pallas_frame(trace_block, cfg, mesh, rows, perm, inv,
+                          defer_gather, tables, cam_params, key, qpt):
+    """Shared multi-chip driver for the Pallas engines: block math, the
+    device-independent seed/QMC derivation, the ("px","spp") shard_map
+    wrapper with the spp-axis psum, the degenerate-1x1 fast path, and
+    the output gather — parameterized ONLY by trace_block(t, cam, seed0,
+    jseed0, ids, spp_i, qpt) -> (blk, 3), so the fused and segmented
+    routes cannot drift apart.
 
-    tables: engines.tables.PallasSceneTables (replicated to every device
-    with a single P() spec — the scene upload the reference repeats per
-    backend, cuda_megakernel/renderer.cu:276-355, done once per mesh).
-
-    perm/inv (optional): a pixel-id permutation of length n_px*blk
-    (e.g. Morton order padded with out-of-range ids) and its inverse of
-    length cfg.pixel_count.  Each device then traces a COHERENT screen
-    block instead of a scanline strip — the 1.34x Morton-tile win the
-    fused engine gets (RESULTS.md) — and the result is gathered back to
-    pixel order at the end.
-
-    Determinism contract: the path seed and the jitter seed derive from
-    the FRAME key only (not the device), the in-kernel RNG is keyed on
-    GLOBAL pixel ids, and jitter is pixel-keyed (pixel_keyed_jitter) —
-    so for a fixed spp-axis size the image is bit-invariant to the
-    device count, the px-shard layout and the perm.  The spp axis is the
-    one sampled dimension: spp shard i draws sample stream i.
-
-    The per-device block must be a multiple of rows*128 rays."""
-    from parallelraytracing_tpu.engines.tables import trace_tables
+    Determinism contract (both routes): the path seed and the jitter
+    seed derive from the FRAME key only (never the device), the
+    in-kernel RNG is keyed on GLOBAL pixel ids, and jitter is
+    pixel-keyed — so for a fixed spp-axis size the image is
+    bit-invariant to device count, px-shard layout and perm.  The spp
+    axis is the one sampled dimension: spp shard i draws sample
+    stream i."""
     from parallelraytracing_tpu.ops.pallas_trace import LANES
-    from parallelraytracing_tpu.ops.rays import (frame_stream_seeds,
-                                                 generate_camera_rays_ids)
+    from parallelraytracing_tpu.ops.rays import frame_stream_seeds
 
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
@@ -195,33 +171,21 @@ def render_frame_sharded_fused(
     jseed0 = jseed0.astype(jnp.int32)  # spp-offset math below stays int32
     if cfg.qmc:
         # QMC (cfg.qmc): the jitter/lens rotation seed is
-        # frame-INDEPENDENT (same derivation as the fused engine, so
-        # the 1x1-mesh bit-identity contract holds) and the caller
-        # passes this sample's Halton point; the path seed stays MC.
+        # frame-INDEPENDENT (same derivation as the fused engine, so the
+        # 1x1-mesh bit-identity contract holds) and the caller passes
+        # this sample's Halton point; the path seed stays MC.
         from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
         if qpt is None:
             raise ValueError("cfg.qmc requires this sample's Halton "
                              "point (qpt) — see ops/rays.halton_qpt")
         jseed0 = qmc_rotation_seed(cfg.seed).astype(jnp.int32)
 
-    def trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt):
-        ids = ids.reshape(-1)
-        sstep = jnp.int32(0x632BE5AB)  # odd: distinct streams per spp shard
-        jseed = (jseed0 + spp_i * sstep).astype(jnp.uint32)
-        o, d = generate_camera_rays_ids(
-            cam, cfg.width, cfg.height, ids, None, cfg.jitter,
-            pix_seed=jseed, lens=cfg.lens, qpt=qpt)
-        # Global pixel ids key the in-kernel RNG, so the image is
-        # invariant to the px-shard layout.
-        pix = ids.astype(jnp.float32)
-        seed = (seed0 + spp_i * sstep)[None]
-        return trace_tables(t, o, d, pix, seed, rows, cfg, interpret)
-
     if n_px == 1 and n_spp == 1:
         # Degenerate 1x1 mesh: the RNG/jitter streams are device-count
         # independent by construction, so skipping shard_map + psum
         # produces the BIT-identical image without their overhead —
-        # single-chip `sharded` costs the same as `fused` (tested).
+        # single-chip `sharded` costs the same as its single-chip twin
+        # (tested).
         out = trace_block(tables, cam_params, seed0, jseed0, perm,
                           jnp.int32(0), qpt)
     else:
@@ -249,6 +213,63 @@ def render_frame_sharded_fused(
     return out[:r] / n_spp
 
 
+def _spp_stream_offset(seed0, jseed0, spp_i):
+    """(seed, jseed) for sample stream spp_i (odd-stride offsets)."""
+    sstep = jnp.int32(0x632BE5AB)
+    return ((seed0 + spp_i * sstep)[None],
+            (jseed0 + spp_i * sstep).astype(jnp.uint32))
+
+
+def render_frame_sharded_fused(
+    tables,
+    cam_params: jax.Array,
+    key: jax.Array,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    rows: int = 2,
+    interpret: bool = False,
+    perm: jax.Array | None = None,
+    inv: jax.Array | None = None,
+    defer_gather: bool = False,
+    qpt: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-chip frame through the fused Pallas kernel at FULL feature
+    parity with the single-chip fused engine: each ("px","spp") device
+    runs the VMEM-resident megakernel — including NEE, hot/cold triangle
+    split and in-kernel TLAS/BLAS instancing — on its pixel block
+    (driver + determinism contract: _sharded_pallas_frame).
+
+    tables: engines.tables.PallasSceneTables (replicated to every device
+    with a single P() spec — the scene upload the reference repeats per
+    backend, cuda_megakernel/renderer.cu:276-355, done once per mesh).
+
+    perm/inv (optional): a pixel-id permutation of length n_px*blk
+    (e.g. Morton order padded with out-of-range ids) and its inverse of
+    length cfg.pixel_count.  Each device then traces a COHERENT screen
+    block instead of a scanline strip — the 1.34x Morton-tile win the
+    fused engine gets (RESULTS.md) — and the result is gathered back to
+    pixel order at the end.
+
+    The per-device block must be a multiple of rows*128 rays."""
+    from parallelraytracing_tpu.engines.tables import trace_tables
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+
+    def trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt):
+        ids = ids.reshape(-1)
+        seed, jseed = _spp_stream_offset(seed0, jseed0, spp_i)
+        o, d = generate_camera_rays_ids(
+            cam, cfg.width, cfg.height, ids, None, cfg.jitter,
+            pix_seed=jseed, lens=cfg.lens, qpt=qpt)
+        # Global pixel ids key the in-kernel RNG, so the image is
+        # invariant to the px-shard layout.
+        pix = ids.astype(jnp.float32)
+        return trace_tables(t, o, d, pix, seed, rows, cfg, interpret)
+
+    return _sharded_pallas_frame(trace_block, cfg, mesh, rows, perm, inv,
+                                 defer_gather, tables, cam_params, key,
+                                 qpt)
+
+
 def render_frame_sharded_segmented(
     tables,
     cam_params: jax.Array,
@@ -271,51 +292,27 @@ def render_frame_sharded_segmented(
     between segments DEVICE-LOCALLY (a per-shard argsort — no
     collectives; the ray pool never crosses chips, exactly like the
     reference's per-GPU wavefront queues, cuda_wavefront/renderer.h:100).
-    Sample streams psum over ICI as in render_frame_sharded_fused.
+    Driver + determinism contract: _sharded_pallas_frame; additionally
+    the compaction permutation provably cannot change the image (RNG is
+    keyed on absolute depth), so any schedule is bit-identical, and a
+    1x1 mesh bit-matches the single-chip wavefront_fused engine
+    (tested).
 
     This is the multi-chip route for triangle-heavy scenes: the growing
     segment schedule's mesh win (dragon 1517 -> 918 ms single-chip,
     RESULTS.md) carries over per device.
-
-    Determinism contract: same as render_frame_sharded_fused — seeds
-    derive from the frame key only, the in-kernel RNG is keyed on
-    GLOBAL pixel ids (the compaction permutation provably cannot change
-    the image), so the image is bit-invariant to device count, shard
-    layout, perm, and the schedule; on a 1x1 mesh it is bit-identical
-    to the single-chip wavefront_fused engine (tested).
 
     tables must be packed with allow_partial=False (the segment kernel
     carries 14 ray planes and opts out of the hot/cold split —
     engines/tables.build_scene_tables)."""
     from parallelraytracing_tpu.engines.wavefront_fused import \
         _segmented_body
-    from parallelraytracing_tpu.ops.pallas_trace import LANES
-    from parallelraytracing_tpu.ops.rays import (frame_stream_seeds,
-                                                 generate_camera_rays_ids)
-
-    n_px = mesh.shape["px"]
-    n_spp = mesh.shape["spp"]
-    r = cfg.pixel_count
-    tile = rows * LANES
-    blk = -(-r // n_px)
-    blk += (-blk) % tile  # per-device block must tile evenly
-    if perm is None:
-        perm = jnp.arange(n_px * blk, dtype=jnp.int32)
-    assert perm.shape == (n_px * blk,), (perm.shape, n_px * blk)
-
-    jseed0, seed0 = frame_stream_seeds(key)
-    jseed0 = jseed0.astype(jnp.int32)
-    if cfg.qmc:
-        from parallelraytracing_tpu.ops.rays import qmc_rotation_seed
-        if qpt is None:
-            raise ValueError("cfg.qmc requires this sample's Halton "
-                             "point (qpt) — see ops/rays.halton_qpt")
-        jseed0 = qmc_rotation_seed(cfg.seed).astype(jnp.int32)
+    from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
 
     def trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt):
         ids = ids.reshape(-1)
-        sstep = jnp.int32(0x632BE5AB)  # odd: distinct streams per spp shard
-        jseed = (jseed0 + spp_i * sstep).astype(jnp.uint32)
+        blk = ids.shape[0]
+        seed, jseed = _spp_stream_offset(seed0, jseed0, spp_i)
         o, d = generate_camera_rays_ids(
             cam, cfg.width, cfg.height, ids, None, cfg.jitter,
             pix_seed=jseed, lens=cfg.lens, qpt=qpt)
@@ -325,31 +322,10 @@ def render_frame_sharded_segmented(
         # worth on the last shard); their radiance scatters to slots the
         # film layout never reads, so the first-segment launch bound is
         # simply the whole block.
-        seed = (seed0 + spp_i * sstep)[None]
         return _segmented_body(t, o, d, pix, loc, jnp.int32(blk), seed,
                                rows, segment, cfg, interpret, sort_rays,
                                0, tuple(schedule), out_len=blk)
 
-    if n_px == 1 and n_spp == 1:
-        out = trace_block(tables, cam_params, seed0, jseed0, perm,
-                          jnp.int32(0), qpt)
-    else:
-        if qpt is None:
-            qpt = jnp.zeros((4,), jnp.float32)  # unused (non-QMC)
-
-        def per_device(t, cam, seed0, jseed0, ids, qpt):
-            spp_i = jax.lax.axis_index("spp").astype(jnp.int32)
-            rad = trace_block(t, cam, seed0, jseed0, ids, spp_i, qpt)
-            return jax.lax.psum(rad, axis_name="spp")
-
-        shard = jax.shard_map(
-            per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("px"), P()),
-            out_specs=P("px", None),
-            check_vma=False)
-        out = shard(tables, cam_params, seed0, jseed0, perm, qpt)
-    if defer_gather:
-        return out / n_spp
-    if inv is not None:
-        return jnp.take(out, inv, axis=0) / n_spp
-    return out[:r] / n_spp
+    return _sharded_pallas_frame(trace_block, cfg, mesh, rows, perm, inv,
+                                 defer_gather, tables, cam_params, key,
+                                 qpt)
