@@ -52,7 +52,8 @@ def aux_buffers(scene, cam_params, cfg: RenderConfig):
     hit = intersect_scene(scene, o, d, cfg.t_min, cfg.t_max,
                           cfg.intersect_chunk)
     alb = surface_albedo(scene, hit)
-    alb = jnp.where(hit.hit[:, None], alb, scene.sky[None, :])
+    from parallelraytracing_tpu.ops.sky import sky_radiance
+    alb = jnp.where(hit.hit[:, None], alb, sky_radiance(scene, d))
     return (hit.normal.reshape(h, w, 3),
             alb.reshape(h, w, 3),
             hit.t.reshape(h, w))
