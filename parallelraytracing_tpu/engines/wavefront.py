@@ -102,6 +102,11 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
         if lights is not None:
             k_nee = jax.random.fold_in(k, 11)
             u3_all = jax.random.uniform(k_nee, (rp, 3), dtype=jnp.float32)
+        if cfg.russian_roulette_depth > 0:
+            # Same derivation (fold_in(k, 7), per pool slot) as the jnp
+            # tracer so both engines draw identical survival uniforms.
+            k_rr = jax.random.fold_in(k, 7)
+            u_rr_all = jax.random.uniform(k_rr, (rp,), dtype=jnp.float32)
 
         n_tiles = (count + tile - 1) // tile
 
@@ -142,17 +147,35 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
                 cand = lit & is_lam & lvalid & (cos_s > 0.0)
                 sh = intersect(hit.pos, wi)
                 vis = sh.hit & (sh.kind == lkind) & (sh.idx == lidx)
-                albedo = scene.mat_albedo[hit.mat]
+                # Texture-aware albedo (ops/materials.surface_albedo — the
+                # single albedo source shared with the scatter estimator);
+                # the raw material color would silently untexture NEE's
+                # direct term on checker / image-textured surfaces.
+                from parallelraytracing_tpu.ops.materials import \
+                    surface_albedo
+                albedo = surface_albedo(scene, hit)
                 w = (cos_s / (jnp.pi * jnp.maximum(pdf, 1e-12)))[:, None]
                 add = add + jnp.where((cand & vis)[:, None],
                                       thr * albedo * w * lemit, 0.0)
+
+            thr_new = thr * atten
+            if cfg.russian_roulette_depth > 0:
+                # Russian roulette (tracer.py semantics, bit-matching
+                # streams): survival prob = max channel of the post-
+                # attenuation throughput, applied from rr_depth on.
+                p = jnp.clip(jnp.max(thr_new, axis=1), 0.05, 1.0)
+                roulette = depth >= cfg.russian_roulette_depth
+                survive = ~roulette | (u_rr_all[safe] < p)
+                thr_new = jnp.where((cont & roulette & survive)[:, None],
+                                    thr_new / p[:, None], thr_new)
+                cont = cont & survive
 
             # Scatter-update pool state; masked lanes dropped via an
             # out-of-bounds index (mode="drop").
             widx = jnp.where(in_queue, safe, rp)
             radiance = radiance.at[widx].add(add, mode="drop")
             cidx = jnp.where(cont, safe, rp)
-            throughput = throughput.at[cidx].set(thr * atten, mode="drop")
+            throughput = throughput.at[cidx].set(thr_new, mode="drop")
             o = o.at[cidx].set(hit.pos, mode="drop")
             d = d.at[cidx].set(new_d, mode="drop")
             if lights is not None:

@@ -151,7 +151,14 @@ def _sharded_pallas_frame(trace_block, cfg, mesh, rows, perm, inv,
     pixel-keyed — so for a fixed spp-axis size the image is
     bit-invariant to device count, px-shard layout and perm.  The spp
     axis is the one sampled dimension: spp shard i draws sample
-    stream i."""
+    stream i.
+
+    Scope: the bit-invariance is exact for pinhole cameras.  With the
+    thin-lens aperture OPEN (cfg.lens_radius > 0) XLA may fma-contract
+    the lens mul-adds differently inside shard_map than in the
+    single-chip raygen, so isolated pixels can differ by ~1 ulp across
+    device counts (the sample STREAMS stay identical — tested in
+    tests/test_feature_matrix.py)."""
     from parallelraytracing_tpu.ops.pallas_trace import LANES
     from parallelraytracing_tpu.ops.rays import frame_stream_seeds
 
