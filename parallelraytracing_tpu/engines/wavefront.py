@@ -104,7 +104,10 @@ def wavefront_trace(scene: SceneData, o: jax.Array, d: jax.Array,
             u3_all = jax.random.uniform(k_nee, (rp, 3), dtype=jnp.float32)
         if cfg.russian_roulette_depth > 0:
             # Same derivation (fold_in(k, 7), per pool slot) as the jnp
-            # tracer so both engines draw identical survival uniforms.
+            # tracer's single-tile path (n_tiles==1 in trace_paths_tiled),
+            # so the engines draw identical survival uniforms whenever the
+            # tracer runs un-tiled; multi-tile tracer runs fold the key per
+            # tile and only agree statistically.
             k_rr = jax.random.fold_in(k, 7)
             u_rr_all = jax.random.uniform(k_rr, (rp,), dtype=jnp.float32)
 

@@ -54,13 +54,13 @@ def everything_scene() -> Scene:
     return s
 
 
-def render(engine, frames, **attrs):
-    film = Film(CFG.width, CFG.height)
+def render(engine, frames, cfg=CFG, **attrs):
+    film = Film(cfg.width, cfg.height)
     r = create_renderer(engine)
     for k, v in attrs.items():
         setattr(r, k, v)
     r.init(film, everything_scene(),
-           default_camera(CFG.width, CFG.height), CFG)
+           default_camera(cfg.width, cfg.height), cfg)
     for _ in range(frames):
         r.progressive_render()
     return np.asarray(film.hdr_average())
@@ -93,22 +93,23 @@ def test_pallas_engines_bit_match_with_everything_on():
     # sharded: bitwise for pinhole scenes; with the aperture OPEN, XLA
     # may fma-contract the thin-lens mul-adds differently inside
     # shard_map than in the single-chip raygen, so the 8-device image
-    # can differ by ~1 ulp on isolated pixels (the streams are still
-    # identical — a stream bug would show MC-scale differences).
-    np.testing.assert_allclose(c, a, rtol=0.0, atol=2e-6,
+    # can differ by a couple of ulps on isolated pixels (the streams are
+    # still identical — a stream bug would show MC-scale differences).
+    # The contraction difference lands on a pre-average SAMPLE, whose
+    # magnitude is bounded by the firefly clamp (24.0, ulp ~1.9e-6), not
+    # by the final averaged pixel — so gate on ulps of the clamp: a few
+    # ulps of 24.0 absolute (4e-6), not ulps of the (possibly dim) pixel.
+    # A stream bug would show MC-scale (~1e-2) differences.
+    assert CFG.firefly_clamp == 24.0  # keeps the atol derivation honest
+    np.testing.assert_allclose(c, a, rtol=0.0, atol=4e-6,
                                err_msg="fused vs sharded (8-device mesh)")
 
 
 def test_sharded_bit_matches_fused_with_pinhole_everything_on():
-    global CFG
-    saved = CFG
-    CFG = CFG.replace(lens_radius=0.0)
-    try:
-        a = render("fused", frames=2, rows=2)
-        c = render("sharded", frames=2)
-        assert np.array_equal(a, c), "pinhole sharded must stay bitwise"
-    finally:
-        CFG = saved
+    cfg = CFG.replace(lens_radius=0.0)
+    a = render("fused", frames=2, cfg=cfg, rows=2)
+    c = render("sharded", frames=2, cfg=cfg)
+    assert np.array_equal(a, c), "pinhole sharded must stay bitwise"
 
 
 def test_pallas_group_agrees_with_the_oracle_statistically():
