@@ -217,6 +217,38 @@ def main() -> None:
                 "detail": {"engine": engine, "views": dict(results)},
             })
 
+    # ---- hardware-normalized utilization (VERDICT r3 item 7): measure
+    # this tile's VMEM-resident VPU f32 ceiling (benchmarks/micro.py
+    # roofline — the fused kernel was shown to issue vector work AT this
+    # ceiling, RESULTS.md "The roofline") and report the headline both as
+    # a fraction of full-spec v5e VPU rate and projected onto it, so the
+    # vs_baseline number is interpretable without reading STATUS.md.
+    utilization = {}
+    if best_so_far:
+        best_so_far["detail"]["utilization"] = utilization
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.micro import vpu_peak_vmem
+        dt_u, ops_u = vpu_peak_vmem(mix="slab")
+        measured_tops = ops_u / dt_u / 1e12
+        V5E_SPEC_VPU_TOPS = 3.95  # 8x128 lanes x 4 ALUs x ~0.96 GHz f32
+        hl = results["reference_default"]["mrays"]
+        utilization.update({
+            "vpu_peak_tops_measured": round(measured_tops, 3),
+            "vpu_peak_tops_v5e_spec": V5E_SPEC_VPU_TOPS,
+            "tile_fraction_of_v5e_vpu": round(
+                measured_tops / V5E_SPEC_VPU_TOPS, 3),
+            # The kernel is VPU-issue-bound at ~100% of the measured
+            # ceiling (RESULTS.md), so throughput scales ~linearly with
+            # the VPU rate: the same kernel on full-spec v5e silicon.
+            "projected_full_v5e_mrays": round(
+                hl * V5E_SPEC_VPU_TOPS / measured_tops, 1),
+            "note": "kernel measured AT this tile's VPU ceiling; "
+                    "tunneled tile runs a fraction of v5e spec",
+        })
+    except Exception as e:
+        utilization["error"] = f"{type(e).__name__}: {e}"
+
     # ---- mesh workloads (BASELINE.md milestones 2-5, machine-readable —
     # VERDICT r2 item 8): bunny through the in-kernel SAH BVH and the
     # multi-mesh instanced scene through the in-kernel TLAS/BLAS.
@@ -273,60 +305,170 @@ def main() -> None:
         mm_cam = Camera(np.array([0.0, 12.0, 30.0]),
                         np.array([0.0, -7.0, -30.0]),
                         float(mm_w), float(mm_h), 100.0)
+        # Full-spec multimesh config (BASELINE milestone 4: multi-mesh
+        # TLAS/BLAS at 1080p@64spp — VERDICT r3 item 5); the half-res row
+        # stays for round-over-round comparability.
+        mmf_cfg = RenderConfig(width=width, height=height,
+                               max_depth=min(8, depth), seed=0)
+        mmf_cam = Camera(np.array([0.0, 12.0, 30.0]),
+                         np.array([0.0, -7.0, -30.0]),
+                         float(width), float(height), 100.0)
+        # Russian-roulette rows (VERDICT r3 item 1: RR-on for mesh
+        # workloads, measured in the record): unbiased stochastic
+        # termination of the divergent deep-bounce tail; equal-TIME
+        # quality beats rr=0 (RESULTS.md round-4 variance A/B), so these
+        # are the recommended production settings.  The rr0 rows stay as
+        # the round-over-round comparable fidelity default.
+        rr_cfg = mesh_cfg.replace(russian_roulette_depth=2)
         mesh_frames = max(2, frames // 2)
         for tag, (sc, cam2, cfg2, prefs) in {
             "bunny_sah_1080p_d20": (bunny_scene, bunny_cam, mesh_cfg,
                                     ["wavefront_fused", "fused", "bvh"]),
+            "bunny_sah_1080p_d20_rr2": (bunny_scene, bunny_cam, rr_cfg,
+                                        ["wavefront_fused"]),
             "dragon_sah_1080p_d20": (dragon_scene, bunny_cam, mesh_cfg,
                                      ["wavefront_fused", "fused", "bvh"]),
+            "dragon_sah_1080p_d20_rr2": (dragon_scene, bunny_cam, rr_cfg,
+                                         ["wavefront_fused"]),
             "multimesh_tlas_halfres_d8": (multimesh_scene, mm_cam, mm_cfg,
                                           ["wavefront_fused", "tlas",
                                            "fused"]),
+            "multimesh_tlas_1080p_64spp": (multimesh_scene, mmf_cam,
+                                           mmf_cfg,
+                                           ["wavefront_fused", "fused"]),
         }.items():
             try:
                 eng2, res2 = measure(sc(), cam2, cfg2, prefs, mesh_frames)
                 res2["engine"] = eng2
                 res2["resolution"] = f"{cfg2.width}x{cfg2.height}"
                 res2["max_depth"] = cfg2.max_depth
+                if cfg2.russian_roulette_depth:
+                    res2["russian_roulette_depth"] = \
+                        cfg2.russian_roulette_depth
+                if tag == "multimesh_tlas_1080p_64spp":
+                    # the milestone metric: wall seconds to accumulate
+                    # the full 64-spp frame at 1080p
+                    res2["spp64_wall_s"] = round(
+                        64.0 * res2["ms_per_frame"] / 1000.0, 2)
                 workloads[tag] = res2
             except Exception as e:  # honest partial record
                 workloads[tag] = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- fidelity gate (BASELINE.md reporting metric: RMSE vs reference
-    # at equal spp).  The jnp bvh engine draws the SAME threefry streams
-    # as the megakernel oracle, so equal-spp RMSE measures pure numerics
-    # (target < 1e-3); fused draws its own in-kernel PCG streams, so its
-    # delta is Monte-Carlo noise that converges with spp.
+    # at equal spp) — and it GATES (VERDICT r3 item 2): every entry
+    # asserts RMSE < 1e-3; any breach sets fidelity["pass"] = false and
+    # bench exits nonzero after printing the record.
+    #
+    # Three converged comparisons (all deterministic: fixed seed chains,
+    # so pass/fail cannot flake):
+    # - material_test (all four BSDFs, sphere+quad kinds) — fused AND
+    #   wavefront_fused vs the megakernel oracle at 4096 spp.  The
+    #   Pallas engines draw their own in-kernel PCG streams, so the
+    #   residual is MC noise that must converge below the gate — the
+    #   demonstration round 3 lacked.
+    # - bunny through the in-kernel SAH tree (the path carrying the mesh
+    #   benchmarks), sky-lit (low-variance so 4096 spp converges).
+    # - icosahedron instances through the in-kernel TLAS/BLAS vs the
+    #   oracle on the SAME geometry baked to world space.
+    # Plus the equal-streams check: the jnp bvh engine draws the SAME
+    # threefry streams as the oracle, so its 32-spp RMSE must be 0.0
+    # (pure numerics, no MC term).
     fidelity = {}
     if best_so_far:
         best_so_far["detail"]["fidelity"] = fidelity
     if os.environ.get("BENCH_FIDELITY", "1") != "0":
+        from parallelraytracing_tpu.core.mesh import load_ply
+        GATE = 1.0e-3
+        fspp = int(os.environ.get("BENCH_FIDELITY_SPP", "4096"))
+        fw, fh = 64, 48
+
+        def frender(name, scene, cam, cfg, spp):
+            film = Film(cfg.width, cfg.height)
+            r = create_renderer(name)
+            r.init(film, scene, cam, cfg)
+            for _ in range(max(1, spp // cfg.samples_per_frame)):
+                r.progressive_render()
+            return np.asarray(film.hdr_average())
+
+        def gate_entry(tag, img, ref, spp, **kw):
+            rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+            fidelity[tag] = {"rmse_hdr_vs_oracle": round(rmse, 6),
+                             "spp": spp, "pass": bool(rmse < GATE), **kw}
+
+        def bunny_scene():
+            bun = load_ply("/root/reference/assets/models/bunny.ply")
+            s = Scene(preset=None)
+            body = s.add_lambertian((0.7, 0.6, 0.45))
+            s.add_mesh(bun, body, ((6, 6, 6), (0, 0, 0), (0, 0, 0)))
+            ground = s.add_lambertian((0.5, 0.5, 0.52))
+            s.add_quad(120, 120, ground, None)
+            return s
+
+        def ico_scene(baked):
+            ico = load_ply("/root/reference/assets/models/icosahedron.ply")
+            s = Scene(preset=None)
+            red = s.add_lambertian((0.8, 0.15, 0.1))
+            blue = s.add_lambertian((0.2, 0.3, 0.8))
+            tfs = [(red, ((2.0,) * 3, (0, 30 * i, 0), (-4 + 4 * i, 2, 0)))
+                   for i in range(3)]
+            tfs.append((blue, ((1.5,) * 3, (0, 15, 25), (0, 2, 5))))
+            for mid, tf in tfs:
+                (s.add_mesh if baked else
+                 lambda m, d, t: s.add_mesh_instances(m, d, [t]))(
+                     ico, mid, tf)
+            ground = s.add_lambertian((0.5, 0.5, 0.52))
+            s.add_quad(60, 60, ground, None)
+            return s
+
         try:
-            fcfg = RenderConfig(width=128, height=96, max_depth=10, seed=0)
-            fscene = Scene(ScenePreset.MATERIAL_TEST)
+            fcfg = RenderConfig(width=fw, height=fh, max_depth=10, seed=0,
+                                samples_per_frame=32)
             fcam = Camera(np.array([5.0, 5.0, 8.0]),
-                          np.array([-5.0, -5.0, -8.0]), 128.0, 96.0, 100.0)
-            fspp = int(os.environ.get("BENCH_FIDELITY_SPP", "32"))
+                          np.array([-5.0, -5.0, -8.0]),
+                          float(fw), float(fh), 100.0)
+            fscene = Scene(ScenePreset.MATERIAL_TEST)
+            oracle = frender("megakernel", fscene, fcam, fcfg, fspp)
+            for name in ("fused", "wavefront_fused"):
+                img = frender(name, fscene, fcam, fcfg, fspp)
+                gate_entry(name, img, oracle, fspp,
+                           scene="material_test", equal_streams=False)
+            # equal-streams numerics check (no MC term: must be ~0)
+            spp32 = 32
+            o32 = frender("megakernel", fscene, fcam,
+                          fcfg.replace(samples_per_frame=1), spp32)
+            b32 = frender("bvh", fscene, fcam,
+                          fcfg.replace(samples_per_frame=1), spp32)
+            gate_entry("bvh", b32, o32, spp32, scene="material_test",
+                       equal_streams=True)
 
-            def frender(name):
-                film = Film(fcfg.width, fcfg.height)
-                r = create_renderer(name)
-                r.init(film, fscene, fcam, fcfg)
-                for _ in range(fspp):
-                    r.progressive_render()
-                return np.asarray(film.hdr_average())
+            mcam = Camera(np.array([0.0, 14.0, 28.0]),
+                          np.array([0.0, -7.0, -28.0]),
+                          float(fw), float(fh), 100.0)
+            img = frender("wavefront_fused", bunny_scene(), mcam, fcfg,
+                          fspp)
+            ref = frender("megakernel", bunny_scene(), mcam, fcfg, fspp)
+            gate_entry("bunny_sah", img, ref, fspp, scene="bunny_sky",
+                       equal_streams=False)
 
-            oracle = frender("megakernel")
-            for name in ("bvh", "fused"):
-                img = frender(name)
-                fidelity[name] = {
-                    "rmse_hdr_vs_oracle": round(float(
-                        np.sqrt(np.mean((img - oracle) ** 2))), 6),
-                    "spp": fspp,
-                    "equal_streams": name == "bvh",
-                }
+            tcam = Camera(np.array([0.0, 6.0, 16.0]),
+                          np.array([0.0, -4.0, -16.0]),
+                          float(fw), float(fh), 100.0)
+            # the instanced scene's variance is ~4x the bunny's (measured:
+            # RMSE 9.6e-4 at 4096 spp — pass but thin); 2x spp buys a
+            # ~1.4x margin under the gate
+            tspp = 2 * fspp
+            img = frender("wavefront_fused", ico_scene(False), tcam, fcfg,
+                          tspp)
+            ref = frender("megakernel", ico_scene(True), tcam, fcfg, tspp)
+            gate_entry("tlas_blas", img, ref, tspp, scene="ico_instances",
+                       equal_streams=False)
+
+            fidelity["pass"] = all(
+                v.get("pass", True) for v in fidelity.values()
+                if isinstance(v, dict))
         except Exception as e:
             fidelity["error"] = f"{type(e).__name__}: {e}"
+            fidelity["pass"] = False
 
     mrays = results["reference_default"]["mrays"]
     print(json.dumps({
@@ -343,9 +485,15 @@ def main() -> None:
             "views": results,
             "workloads": workloads,
             "fidelity": fidelity,
+            "utilization": utilization,
             "device": str(jax.devices()[0]),
         },
     }))
+    if fidelity and not fidelity.get("pass", True):
+        # The fidelity gate GATES (VERDICT r3 item 2): a Pallas engine
+        # drifting from the oracle beyond the BASELINE.md 1e-3 bar is a
+        # regression, not a footnote.
+        sys.exit(4)
 
 
 if __name__ == "__main__":
