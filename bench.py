@@ -271,6 +271,25 @@ def main() -> None:
         bunny_scene = mesh_scene("bunny")
         dragon_scene = mesh_scene("dragon")
 
+        def big_mesh_scene():
+            # 320k-triangle dragon (2x midpoint subdivision of the
+            # bundled 20k scan — identical surface): exercises the
+            # STREAMED big-mesh path (HBM-resident triangles, chunked
+            # SAH leaves DMA'd to VMEM — ops/pallas_trace
+            # STREAM_THRESHOLD), the >=250k regime the reference's
+            # OptiX GAS would ingest (optix/renderer.cpp:703-765).
+            from parallelraytracing_tpu.core.mesh import subdivide
+            mesh = subdivide(
+                load_ply("/root/reference/assets/models/dragon.ply"), 2)
+            s = Scene(preset=None)
+            mat = s.add_lambertian((0.75, 0.65, 0.5))
+            s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
+            ground = s.add_lambertian((0.5, 0.5, 0.5))
+            s.add_quad(100, 100, ground, None)
+            light = s.add_emissive((12, 12, 12))
+            s.add_sphere(3.0, light, ((1, 1, 1), (0, 0, 0), (12, 25, 12)))
+            return s
+
         def multimesh_scene():
             ico = load_ply("/root/reference/assets/models/icosahedron.ply")
             bun = load_ply("/root/reference/assets/models/bunny.ply")
@@ -336,6 +355,13 @@ def main() -> None:
             "multimesh_tlas_1080p_64spp": (multimesh_scene, mmf_cam,
                                            mmf_cfg,
                                            ["wavefront_fused", "fused"]),
+            # LAST (largest compile): the >=250k-triangle streamed row
+            "big_mesh_320k_stream_halfres_d8": (
+                big_mesh_scene,
+                Camera(np.array([0.0, 14.0, 28.0]),
+                       np.array([0.0, -7.0, -28.0]),
+                       float(mm_w), float(mm_h), 100.0),
+                mm_cfg, ["wavefront_fused"]),
         }.items():
             try:
                 eng2, res2 = measure(sc(), cam2, cfg2, prefs, mesh_frames)

@@ -55,6 +55,51 @@ class Mesh:
         self.normals = (n / np.maximum(lens, 1e-30)).astype(np.float32)
 
 
+def subdivide(mesh: Mesh, levels: int = 1) -> Mesh:
+    """Midpoint 1->4 triangle subdivision (no smoothing): each edge gains
+    a deduplicated midpoint vertex; normals are angle-preserving
+    renormalized interpolations, texcoords linear.  Used to synthesize
+    canonical-scale stress meshes from the bundled simplified scans
+    (bunny.ply is 10k faces, dragon.ply 20k — BASELINE.md note): two
+    levels of the dragon give a 320k-triangle surface with identical
+    silhouette, the >=2^18-triangle regime the streamed big-mesh path
+    targets (the reference's OptiX backend would ingest such meshes via
+    optixAccelBuild, optix/renderer.cpp:703-765 — its CPU/CUDA backends
+    never did)."""
+    v = mesh.vertices.astype(np.float64)
+    n = (mesh.normals.astype(np.float64)
+         if mesh.normals is not None else None)
+    t = (mesh.texcoords.astype(np.float64)
+         if mesh.texcoords is not None else None)
+    idx = mesh.indices.reshape(-1, 3).astype(np.int64)
+    for _ in range(levels):
+        nv = len(v)
+        # unique undirected edges -> midpoint vertex ids
+        e = np.concatenate([idx[:, [0, 1]], idx[:, [1, 2]],
+                            idx[:, [2, 0]]])
+        e_key = np.sort(e, axis=1)
+        uniq, inv = np.unique(e_key, axis=0, return_inverse=True)
+        mid = nv + inv.reshape(3, -1)       # (3, F): m01, m12, m20
+        v = np.concatenate([v, (v[uniq[:, 0]] + v[uniq[:, 1]]) * 0.5])
+        if n is not None:
+            # plain average (no renormalization): source PLYs may carry
+            # non-unit normals (icosahedron.ply does) and the shading
+            # path normalizes the interpolated normal anyway — keeping
+            # the blend linear stays consistent with the originals
+            n = np.concatenate([n, (n[uniq[:, 0]] + n[uniq[:, 1]]) * 0.5])
+        if t is not None:
+            t = np.concatenate([t, (t[uniq[:, 0]] + t[uniq[:, 1]]) * 0.5])
+        a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
+        m01, m12, m20 = mid[0], mid[1], mid[2]
+        idx = np.concatenate([
+            np.stack([a, m01, m20], 1), np.stack([m01, b, m12], 1),
+            np.stack([m20, m12, c], 1), np.stack([m01, m12, m20], 1)])
+    return Mesh(vertices=v.astype(np.float32),
+                indices=idx.reshape(-1).astype(np.uint32),
+                normals=None if n is None else n.astype(np.float32),
+                texcoords=None if t is None else t.astype(np.float32))
+
+
 def load_ply(path: str, prefer_native: bool = True) -> Mesh:
     """Load a PLY mesh; uses the native C++ parser when built (3-5x faster,
     native/src/ply.cpp), falling back to the pure-Python reader below."""

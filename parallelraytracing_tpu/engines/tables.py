@@ -67,6 +67,10 @@ class PallasSceneTables:
     #: — Scene.add_checker; empty on untextured scenes so the kernels
     #: compile the texture path away entirely
     checker: Tuple = ()
+    #: streamed big-mesh chunk size (0 = dense tables): triangles ride
+    #: HBM as (rows, 128); chunk-aligned SAH leaves DMA into VMEM
+    #: scratch on entry (pallas_trace STREAM_THRESHOLD/STREAM_CHUNK)
+    tri_stream: int = 0
 
 
 jax.tree_util.register_dataclass(
@@ -75,7 +79,7 @@ jax.tree_util.register_dataclass(
                  "mats", "lights", "tri_cold", "tri_hot", "inst",
                  "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
-                 "tail_roots", "eye_dependent", "checker"],
+                 "tail_roots", "eye_dependent", "checker", "tri_stream"],
 )
 
 
@@ -151,8 +155,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         itri = None
 
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
-     tail_roots, eye_used) = pack_scene_tables(host_scene, accel=accel,
-                                               eye=eye)
+     tail_roots, eye_used, tri_stream) = pack_scene_tables(
+         host_scene, accel=accel, eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
 
@@ -179,8 +183,15 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
     if itri is not None:
         other += sum(smem_padded_bytes(a.shape)
                      for a in (iacc, ibox, inst))
-    tri_tab, tri_cold, tri_vm, _, tri_hot = plan_table(
-        tri, 16, other, vmem_threshold, allow_partial=allow_partial)
+    if tri_stream:
+        # streamed big-mesh: the whole 27-row table rides HBM as
+        # (rows, 128); the kernel DMAs chunk-aligned leaves to scratch
+        tri_tab = to_vmem_rows(tri)
+        tri_cold = tri_hot = None
+        tri_vm = True
+    else:
+        tri_tab, tri_cold, tri_vm, _, tri_hot = plan_table(
+            tri, 16, other, vmem_threshold, allow_partial=allow_partial)
 
     if itri is not None:
         if tri_hot is not None:
@@ -239,6 +250,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
             tuple(float(1.0 / x) for x in ext)),
         tail_roots=tuple(int(x) for x in tail_roots),
         eye_dependent=bool(eye_used),
+        tri_stream=int(tri_stream),
         checker=tuple(
             (float(i), float(pr[0]), float(pr[1]), float(pr[2]),
              float(pr[3]))
@@ -265,4 +277,5 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         itri_vmem=t.itri_vmem, sub_rows=sub_rows,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
-        tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out)
+        tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out,
+        tri_stream=t.tri_stream)

@@ -210,7 +210,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                        clip_verts=None, sbvh_max_factor: float = 1.4,
                        collapse_tau: float = 0.0,
                        collapse_abs: float = 0.0,
-                       tile_k: float = 0.0):
+                       tile_k: float = 0.0,
+                       align: int = 0):
     """Binned-SAH BVH over PRIMITIVE AABBs -> (perm, (8, M) threaded
     table in the _cluster_tree layout).
 
@@ -253,6 +254,18 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
     returns (perm, table, Mc) in that case (Mc = the fine view's root
     column, fed to the kernel as a walk start).
 
+    With align > 0 (the STREAMED big-mesh layout): every leaf's perm
+    range starts at a multiple of `align` (gaps padded with -1 sentinel
+    entries the caller maps to a never-hit column) and row 7 encodes
+    (lo // align) * mult + span with mult = the next power of two above
+    csize — so a leaf is exactly one align-sized, align-aligned block
+    of table rows, the unit the kernel DMAs from HBM into VMEM scratch
+    (the path that lifts both the 2^18-triangle packed-leaf cap and the
+    ~25k-triangle VMEM-residency wall; the reference's OptiX backend
+    ingests such meshes through optixAccelBuild's own memory manager,
+    optix/renderer.cpp:703-765).  Requires csize <= align; incompatible
+    with tail_csize/sbvh.
+
     Replaces the Karras-over-Morton-runs topology for the tree path:
     top-down builds with a 16-bin surface-area heuristic per axis, leaf
     bounds are the EXACT union of their primitives (Morton runs padded
@@ -265,6 +278,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
     lockstep walk."""
     import sys
     n = len(mn)
+    if align:
+        assert csize <= align and not tail_csize and sbvh_alpha == 0.0
     if tail_csize and tail_csize >= csize:
         tail_csize = 0
     leaf_size = tail_csize if tail_csize else csize
@@ -405,6 +420,8 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
         bmx = rmx.max(0)
         rcen = (rmn + rmx) * 0.5
         if len(ids) <= leaf_size:
+            if align:  # stream layout: leaf run starts align-aligned
+                perm_out.extend([-1] * ((-len(perm_out)) % align))
             lo = len(perm_out)
             perm_out.extend(ids.tolist())
             recs.append([bmn, bmx, 1, lo, len(perm_out)])
@@ -557,7 +574,13 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
                  mx[ids_v].astype(np.float64))
     perm = np.concatenate([np.asarray(perm_out, np.int64),
                            ids_i]).astype(np.int64)
-    if sbvh_alpha > 0.0:
+    if align:
+        # -1 padding entries map to a never-hit column; every real
+        # primitive appears exactly once
+        real = perm[perm >= 0]
+        assert len(real) == n and len(set(real.tolist())) == n
+        n = len(perm)
+    elif sbvh_alpha > 0.0:
         # refs may duplicate; every valid primitive must appear >= once
         assert set(perm.tolist()) == set(range(n))
         n = len(perm)  # downstream sizes follow the ref count
@@ -634,14 +657,27 @@ def _sah_threaded_tree(mn: np.ndarray, mx: np.ndarray, csize: int,
             out[6, slot] = esc
             if is_leaf_rec(ri):
                 lo, span = rlo[ri], rhi[ri] - rlo[ri]
+                if align:
+                    # stream layout: (chunk index) * mult + span
+                    mult = 1 << int(np.ceil(np.log2(csize + 1)))
+                    assert lo % align == 0 and 0 <= span <= csize
+                    enc = (lo // align) * mult + span
+                    if enc >= (1 << 24):
+                        raise ValueError(
+                            f"streamed leaf encoding overflows f32 "
+                            f"integer range at chunk {lo // align} "
+                            f"(raise PRT_STREAM_CHUNK).")
+                    out[7, slot] = enc
+                    slot += 1
+                    continue
                 assert 0 <= span < 64
                 if lo * 64 + span >= (1 << 24):
                     raise ValueError(
                         f"threaded-tree leaf encoding overflows f32 "
                         f"integer range at {lo + span} primitives (packed "
                         f"lo*64+span must stay < 2^24, i.e. < {1 << 18} "
-                        f"primitives per table). Split the mesh or "
-                        f"decimate.")
+                        f"primitives per table). Use the streamed "
+                        f"big-mesh layout (align > 0) or split the mesh.")
                 out[7, slot] = lo * 64 + span
             else:
                 out[7, slot] = -1.0
@@ -804,6 +840,14 @@ def _front_to_back(tab: np.ndarray, mn2: np.ndarray, mx2: np.ndarray,
     mx2 = mx2.reshape(n_cl, csize, 3)[order].reshape(-1, 3)
     return tab, _cluster_bounds(mn2, mx2, csize)
 
+
+#: Streamed big-mesh path: above this many triangles the flat-triangle
+#: table cannot be VMEM-resident (N x 128 x 4B rows exceed the ~16 MiB
+#: budget alongside the ray planes around ~25-30k), so the packer
+#: switches to chunk-aligned SAH leaves DMA'd from HBM on entry.
+STREAM_THRESHOLD = int(_os.environ.get("PRT_STREAM_THRESHOLD", "24576"))
+#: triangles per streamed chunk (= DMA block rows = max leaf span)
+STREAM_CHUNK = int(_os.environ.get("PRT_STREAM_CHUNK", "128"))
 
 # Cluster count above which "auto" picks the BVH walk over the linear
 # scan for a kind.  With the binned-SAH build (exact leaf bounds) the
@@ -1028,16 +1072,40 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
         np.asarray(scene.tri_n2, np.float32)[t_ord].T], axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
-    tri, tri_cl, tri_troot = accelerate(
-        tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
-        t_mn2, t_mx2, len(tvd), TRI_CLUSTER,
-        clip_verts=(v0.astype(np.float64), v1.astype(np.float64),
-                    v2.astype(np.float64)))
+    tri_stream = 0
+    if (len(tvd) > STREAM_THRESHOLD and accel in ("auto", "tree")):
+        # Streamed big-mesh path (see _sah_threaded_tree align doc):
+        # chunk-aligned SAH leaves; -1 perm pads map to a never-hit
+        # zeros column (ng = 0 fails div_ok).
+        tri_stream = STREAM_CHUNK
+        perm, tree = _sah_threaded_tree(
+            t_mn2, t_mx2, STREAM_CHUNK, align=STREAM_CHUNK,
+            collapse_tau=COLLAPSE_TAU, collapse_abs=COLLAPSE_ABS,
+            tile_k=TILE_SAH_K)
+        tri_ext = np.concatenate(
+            [tri, np.zeros((tri.shape[0], 1), np.float32)], axis=1)
+        perm2 = np.where(perm < 0, tri.shape[1], perm)
+        tri = tri_ext[:, perm2]
+        # pad columns to a chunk multiple so the last leaf's fixed-size
+        # DMA block stays in range
+        pad = (-tri.shape[1]) % STREAM_CHUNK
+        if pad:
+            tri = np.concatenate(
+                [tri, np.zeros((tri.shape[0], pad), np.float32)], axis=1)
+        tri = np.ascontiguousarray(tri)
+        tri_cl = tree
+        tri_troot = -1
+    else:
+        tri, tri_cl, tri_troot = accelerate(
+            tri, _cluster_bounds(t_mn2, t_mx2, TRI_CLUSTER),
+            t_mn2, t_mx2, len(tvd), TRI_CLUSTER,
+            clip_verts=(v0.astype(np.float64), v1.astype(np.float64),
+                        v2.astype(np.float64)))
 
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
             np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot),
-            eye_used[0])
+            eye_used[0], tri_stream)
 
 
 def pack_lights_table(scene: SceneData) -> np.ndarray:
@@ -1232,10 +1300,15 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       itri_cold_get=None,
                       tree_starts=(0, 0, 0),
                       tri_hot_get=None, tri_hot_n: int = 0,
-                      checker: tuple = ()):
+                      checker: tuple = (),
+                      tri_stream: int = 0, tri_stream_refs=None,
+                      tri_hbm_ref=None):
     # Partial SMEM hot prefix (plan_table's large case) requires the
     # hot/cold split: the SMEM body reads ONLY hot lanes through it.
     assert tri_hot_get is None or tri_cold_get is not None
+    assert not tri_stream or (tri_cold_get is None
+                              and tri_hot_get is None)
+    import jax.experimental.pallas as pl
     f0 = jnp.zeros(shape, jnp.float32)
 
     # Does any acceleration table use the ordered (10, M) layout?  Static:
@@ -1448,7 +1521,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return carry
 
             def tree_walk(tref, body, carry, slab=None, start=0,
-                          run_leaf=None):
+                          run_leaf=None, run_leaf_enc=None):
                 """Whole-tile lockstep walk of the threaded cluster-BVH
                 ((8, M) _cluster_tree layout).  The in-kernel analogue of the
                 reference's hardware BVH traversal (optixTrace bounce loop,
@@ -1463,7 +1536,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     return st[0] >= 0
 
                 slab = slab or slab_any_hit
-                runner = run_leaf or leaf_runner(body, None, 0)
+                runner = None if run_leaf_enc is not None \
+                    else (run_leaf or leaf_runner(body, None, 0))
 
                 def wbody(st):
                     node, carry = st
@@ -1471,13 +1545,18 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     miss_l = tref[6, node].astype(jnp.int32)
                     lo_f = tref[7, node]
                     is_leaf = lo_f >= 0.0
-                    # row 7 packs lo*64 + span (_cluster_tree layout)
+                    # row 7 packs lo*64 + span (_cluster_tree layout),
+                    # or the stream encoding when run_leaf_enc decodes it
                     enc = lo_f.astype(jnp.int32)
 
-                    def do_leaf(c):
-                        lo = enc >> 6
-                        hi = lo + (enc & 63)
-                        return runner(lo, hi, c)
+                    if run_leaf_enc is not None:
+                        def do_leaf(c):
+                            return run_leaf_enc(enc, c)
+                    else:
+                        def do_leaf(c):
+                            lo = enc >> 6
+                            hi = lo + (enc & 63)
+                            return runner(lo, hi, c)
 
                     if stats_ref is not None:
                         stats_ref[0] = stats_ref[0] + 1  # nodes visited
@@ -1497,13 +1576,17 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return carry
 
             def clustered(n, cl_ref, body, carry, csize=CLUSTER, start=0,
-                          body2=None, body2_limit=0):
+                          body2=None, body2_limit=0, run_leaf_enc=None):
                 """Per-kind hierarchical cull.  Dispatches on the acceleration
                 table's static shape: (8, M) = threaded cluster-BVH lockstep
                 walk (leaf ranges come from the table; `start` selects the
                 view — 0 = coarse, the fine tail view's root otherwise);
                 (6, n_cl + 1) = linear scan over csize-sized runs with one
                 scalar-predicated slab test each; tiny kinds skip culling."""
+                if run_leaf_enc is not None:  # streamed big-mesh path
+                    assert cl_ref is not None and cl_ref.shape[0] == 8
+                    return tree_walk(cl_ref, None, carry, start=start,
+                                     run_leaf_enc=run_leaf_enc)
                 n_cl = max(1, -(-n // csize))
                 if cl_ref is None or n <= csize:
                     # tiny kinds: the whole table fits the prefix or not —
@@ -1663,17 +1746,46 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                                 ordv)
                 return tri_body
 
-            tri_body = make_tri_body(tri_get)
-            # Partial SMEM hot prefix: a second body reading hot scalars
-            # from SMEM, dispatched per LEAF (leaves are contiguous SAH
-            # runs, so hi <= prefix-width decides the whole run).
-            tri_body_sm = make_tri_body(tri_hot_get) \
-                if tri_hot_get is not None else None
-
             tri_cl = cluster_refs[2] if cluster_refs else None
-            carry = clustered(n_tri, tri_cl, tri_body, carry, TRI_CLUSTER,
-                              start=tree_starts[2], body2=tri_body_sm,
-                              body2_limit=tri_hot_n)
+            if tri_stream:
+                # Streamed big-mesh path: the triangle table lives in
+                # HBM as (rows, 128); each SAH leaf is one chunk-aligned
+                # block DMA'd into VMEM scratch on entry, then tested
+                # from scratch rows.  Lifts both the 2^18 packed-leaf
+                # cap and the VMEM-residency wall (the reference's
+                # OptiX GAS builds at any size, renderer.cpp:703-765).
+                # Testing order changes but the strict-</ordinal winner
+                # fold keeps images bit-identical to the dense path.
+                scr_ref, sem_ref = tri_stream_refs
+                tri_body_s = make_tri_body(make_reader(scr_ref, True))
+                from jax.experimental.pallas import tpu as _pltpu
+                shift = int(math.ceil(math.log2(tri_stream + 1)))
+
+                def stream_leaf(enc, c):
+                    lo = (enc >> shift) * jnp.int32(tri_stream)
+                    span = enc & jnp.int32((1 << shift) - 1)
+                    cp = _pltpu.make_async_copy(
+                        tri_hbm_ref.at[pl.ds(lo, tri_stream)],
+                        scr_ref, sem_ref)
+                    cp.start()
+                    cp.wait()
+                    return jax.lax.fori_loop(0, span, tri_body_s, c)
+
+                carry = clustered(n_tri, tri_cl, None, carry, tri_stream,
+                                  run_leaf_enc=stream_leaf)
+            else:
+                tri_body = make_tri_body(tri_get)
+                # Partial SMEM hot prefix: a second body reading hot
+                # scalars from SMEM, dispatched per LEAF (leaves are
+                # contiguous SAH runs, so hi <= prefix-width decides the
+                # whole run).
+                tri_body_sm = make_tri_body(tri_hot_get) \
+                    if tri_hot_get is not None else None
+
+                carry = clustered(n_tri, tri_cl, tri_body, carry,
+                                  TRI_CLUSTER, start=tree_starts[2],
+                                  body2=tri_body_sm,
+                                  body2_limit=tri_hot_n)
 
             if inst_refs is not None and n_inst > 0:
                 # ---- instanced meshes (in-kernel TLAS/BLAS, the role of
@@ -2086,7 +2198,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        tri_split=False, itri_split=False,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
                        tri_part=False, checker: tuple = (),
-                       depth_out=False):
+                       depth_out=False, tri_stream=0):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -2104,6 +2216,11 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
         rest = list(rest)
+        tri_stream_refs = None
+        if tri_stream:  # scratch order: ..., tri scratch, tri DMA sem
+            t_sem = rest.pop()
+            t_scr = rest.pop()
+            tri_stream_refs = (t_scr, t_sem)
         if collect_stats:
             stats_scr = rest.pop()
             stack_ref = rest.pop()
@@ -2146,7 +2263,9 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
                 stack_ref, stats_scr, tri_cold_get, itri_cold_get,
                 tree_starts=starts, tri_hot_get=tri_hot_get,
-                tri_hot_n=tri_hot_n, checker=checker)
+                tri_hot_n=tri_hot_n, checker=checker,
+                tri_stream=tri_stream, tri_stream_refs=tri_stream_refs,
+                tri_hbm_ref=tri_ref)
 
         step = mk_step((0, 0, 0))
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
@@ -2259,7 +2378,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
     static_argnames=("rows", "max_depth", "t_min", "t_max", "sky",
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
-                     "tail_roots", "tail_depth", "checker", "depth_out"))
+                     "tail_roots", "tail_depth", "checker", "depth_out",
+                     "tri_stream"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -2274,7 +2394,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  tri_cold=None, itri_cold=None,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  tri_hot=None, checker: tuple = (),
-                 depth_out: bool = False,
+                 depth_out: bool = False, tri_stream: int = 0,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -2311,7 +2431,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 itri_cold is not None,
                                 tail_roots, tail_depth,
                                 tri_part=tri_hot is not None,
-                                checker=checker, depth_out=depth_out)
+                                checker=checker, depth_out=depth_out,
+                                tri_stream=tri_stream)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2322,6 +2443,10 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
 
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
+    if tri_stream:
+        # streamed big-mesh triangles: the (rows, 128) table stays in
+        # HBM; leaves DMA into the VMEM scratch below on entry
+        tab_specs[2] = pl.BlockSpec(memory_space=pltpu.ANY)
     interp = pltpu.InterpretParams() if interpret else False
     cold_arrays = []
     cold_specs = []
@@ -2351,6 +2476,9 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         out_shape.append(jax.ShapeDtypeStruct((n_tiles * 8, LANES),
                                               jnp.int32))
         scratch.append(pltpu.SMEM((8,), jnp.int32))
+    if tri_stream:
+        scratch.append(pltpu.VMEM((tri_stream, LANES), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -2385,7 +2513,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          vmem_kinds=(False, False, False),
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                          tri_split=False, itri_split=False,
-                         checker: tuple = ()):
+                         checker: tuple = (), tri_stream=0):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -2394,6 +2522,11 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
         rest = list(rest)
+        tri_stream_refs = None
+        if tri_stream:
+            t_sem = rest.pop()
+            t_scr = rest.pop()
+            tri_stream_refs = (t_scr, t_sem)
         stack_ref = rest.pop()
         tri_cold_get = None
         if tri_split:
@@ -2437,7 +2570,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
             lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
             stack_ref, None, tri_cold_get, itri_cold_get,
-            checker=checker)
+            checker=checker, tri_stream=tri_stream,
+            tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -2474,7 +2608,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    interpret: bool = False, rr_depth: int = 0,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                    nee: bool = False, inst=None, itri_vmem: bool = False,
-                   tri_cold=None, itri_cold=None, checker: tuple = ()):
+                   tri_cold=None, itri_cold=None, checker: tuple = (),
+                   tri_stream: int = 0):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -2513,7 +2648,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   n_inst, itri_vmem,
                                   tri_cold is not None,
                                   itri_cold is not None,
-                                  checker=checker)
+                                  checker=checker, tri_stream=tri_stream)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2522,6 +2657,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
 
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
+    if tri_stream:  # streamed big-mesh triangles stay in HBM
+        tab_specs[2] = pl.BlockSpec(memory_space=pltpu.ANY)
     cold_arrays = []
     cold_specs = []
     if tri_cold is not None:
@@ -2535,6 +2672,10 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         if itri_cold is not None:
             inst_arrays.append(itri_cold)
             inst_specs.append(vmem_full)
+    scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
+    if tri_stream:
+        scratch.append(pltpu.VMEM((tri_stream, LANES), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -2543,7 +2684,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
-        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
       mats, lights, *cold_arrays, *inst_arrays)
