@@ -655,6 +655,17 @@ def _init_texture_demo(scene: Scene) -> None:
                          ((1, 1, 1), (0, 0, 0), (2.5, 1.0, z)))
     light = scene.add_emissive((6, 6, 6))
     scene.add_sphere(2.0, light, ((1, 1, 1), (0, 0, 0), (0.0, 12.0, 0.0)))
+    # An IMAGE texture (32x32 procedural plaid) on a tilted back-wall
+    # quad: small enough for the in-kernel packed-u24 fetch
+    # (pallas_trace KTEX_MAX), so the demo renders on the fast Pallas
+    # engines as well as the jnp ones.
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    img = np.stack([
+        0.15 + 0.8 * ((xx // 8 + yy // 8) % 2),
+        0.2 + 0.6 * np.abs(np.sin(xx * 0.4)),
+        0.25 + 0.7 * (yy / 31.0)], axis=2)
+    wall = scene.add_textured_lambertian(scene.add_texture(img))
+    scene.add_quad(6, 4, wall, ((1, 1, 1), (90, 0, 0), (0.0, 4.0, -9.0)))
 
 
 def _init_sky_demo(scene: Scene) -> None:

@@ -46,6 +46,9 @@ class PallasSceneTables:
     #: SMEM hot PREFIX for oversize triangle tables (plan_table large
     #: case — the dragon read-path fix); None otherwise
     tri_hot: Optional[jax.Array]
+    #: (R,128) packed-u24 texel rows for in-kernel image textures
+    #: (pallas_trace.pack_kernel_textures); None on non-image scenes
+    itex_tab: Optional[jax.Array]
     inst: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
     itri_cold: Optional[jax.Array]
 
@@ -71,15 +74,19 @@ class PallasSceneTables:
     #: HBM as (rows, 128); chunk-aligned SAH leaves DMA into VMEM
     #: scratch on entry (pallas_trace STREAM_THRESHOLD/STREAM_CHUNK)
     tri_stream: int = 0
+    #: static in-kernel image-texture spec ((mat id, row off, th, tw),
+    #: ...) — empty on non-image scenes (texture path compiled away)
+    itex: Tuple = ()
 
 
 jax.tree_util.register_dataclass(
     PallasSceneTables,
     data_fields=["sph", "quad", "tri", "sph_cl", "quad_cl", "tri_cl",
-                 "mats", "lights", "tri_cold", "tri_hot", "inst",
-                 "itri_cold"],
+                 "mats", "lights", "tri_cold", "tri_hot", "itex_tab",
+                 "inst", "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
-                 "tail_roots", "eye_dependent", "checker", "tri_stream"],
+                 "tail_roots", "eye_dependent", "checker", "tri_stream",
+                 "itex"],
 )
 
 
@@ -132,12 +139,14 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         pack_instance_tables, pack_lights_table, pack_scene_tables,
         plan_table, smem_padded_bytes, to_vmem_rows)
 
-    if any(t >= 2 for t in getattr(scene, "_mat_tex", [])):
-        raise NotImplementedError(
-            "image textures are jnp-engine only (megakernel/wavefront/"
-            "bvh/tlas): per-lane image gathers don't vectorize on the "
-            "Pallas VPU lanes.  Procedural textures (Scene.add_checker) "
-            "run in every engine.")
+    has_img = any(t >= 2 for t in getattr(scene, "_mat_tex", []))
+    if has_img and getattr(scene, "instances", None):
+        if any(scene._mat_tex[mid] >= 2
+               for (_mi, mid, _m4) in scene.instances):
+            raise NotImplementedError(
+                "image textures on instanced mesh materials are "
+                "jnp-engine only (tlas_ref); flat quad/triangle image "
+                "textures run in-kernel.")
 
     if getattr(scene, "instances", None):
         base = scene.build(bake_instances=False)
@@ -159,6 +168,16 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
          host_scene, accel=accel, eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
+
+    itex = ()
+    itex_rows = None
+    if has_img:
+        # In-kernel image textures (bounded: quad/tri materials,
+        # <= KTEX_MAX per axis) — raises NotImplementedError outside
+        # the envelope so auto-routing falls back to the jnp engines.
+        from parallelraytracing_tpu.ops.pallas_trace import \
+            pack_kernel_textures
+        itex, itex_rows = pack_kernel_textures(host_scene)
 
     tabs = []
     kinds = []
@@ -240,6 +259,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
                   else jax.device_put(jnp.asarray(tri_cold))),
         tri_hot=(None if tri_hot is None
                  else jax.device_put(jnp.asarray(tri_hot))),
+        itex_tab=(None if itex_rows is None
+                  else jax.device_put(jnp.asarray(itex_rows))),
         inst=inst_dev,
         itri_cold=itri_cold_dev,
         vmem_kinds=(kinds[0], kinds[1], tri_vm),
@@ -251,6 +272,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         tail_roots=tuple(int(x) for x in tail_roots),
         eye_dependent=bool(eye_used),
         tri_stream=int(tri_stream),
+        itex=tuple(itex),
         checker=tuple(
             (float(i), float(pr[0]), float(pr[1]), float(pr[2]),
              float(pr[3]))
@@ -278,4 +300,4 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
         tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out,
-        tri_stream=t.tri_stream)
+        tri_stream=t.tri_stream, itex=t.itex, itex_tab=t.itex_tab)

@@ -1063,13 +1063,20 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     # mid, ord, vertex normals — read only at fold time) trail, so the
     # hot half can live in SMEM while the rest rides VMEM rows (the
     # hot/cold split; 16 avoids the pad-to-24 an 18-row window costs).
-    tri = np.concatenate([
+    tri_rows = [
         ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
         mat_cols(np.asarray(scene.tri_mat)[t_ord]),
         (t_ord + n_sph_full + n_quad_full).astype(np.float32)[None],
         np.asarray(scene.tri_n0, np.float32)[t_ord].T,
         np.asarray(scene.tri_n1, np.float32)[t_ord].T,
-        np.asarray(scene.tri_n2, np.float32)[t_ord].T], axis=0)
+        np.asarray(scene.tri_n2, np.float32)[t_ord].T]
+    if getattr(scene, "tri_uv0", None) is not None:
+        # rows 27-32 (u0 v0 u1 v1 u2 v2): barycentric texcoord sources
+        # for the in-kernel image-texture path (image scenes only)
+        tri_rows += [np.asarray(scene.tri_uv0, np.float32)[t_ord].T,
+                     np.asarray(scene.tri_uv1, np.float32)[t_ord].T,
+                     np.asarray(scene.tri_uv2, np.float32)[t_ord].T]
+    tri = np.concatenate(tri_rows, axis=0)
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri_stream = 0
@@ -1106,6 +1113,70 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
             np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot),
             eye_used[0], tri_stream)
+
+
+#: largest per-axis image-texture size the Pallas kernels accept: the
+#: per-lane texel fetch is a static row loop (cost ∝ texels/128), so
+#: textures are bounded; larger atlases keep the jnp-engine route.
+KTEX_MAX = int(_os.environ.get("PRT_KERNEL_TEX_MAX", "64"))
+
+
+def pack_kernel_textures(scene: SceneData):
+    """In-kernel image-texture tables from a host SceneData.
+
+    Returns (itex, rows):
+    - itex: static per-textured-material tuple
+      ((mat_id, row_offset, th, tw), ...) baked into the kernel;
+    - rows: (R, 128) f32 — each texture u8-quantized and packed
+      r*65536 + g*256 + b (exact integers < 2^24), texels row-major,
+      128 per table row.
+
+    Raises NotImplementedError outside the kernel envelope:
+    - a texture larger than KTEX_MAX per axis (fetch cost is a static
+      row loop — bounded by design; big atlases keep the jnp route);
+    - an image texture on a SPHERE material (equirect UV needs
+      atan2/asin, which Mosaic does not lower; quad/triangle UVs come
+      from carried planes)."""
+    from parallelraytracing_tpu.ops.textures import TEX_IMAGE_BASE
+    mat_tex = np.asarray(scene.mat_tex)
+    atlas = np.asarray(scene.tex_atlas)
+    size = np.asarray(scene.tex_size)
+    sph_mat = np.asarray(scene.sph_mat)
+    sv = np.asarray(scene.sph_valid)
+    if sv.any() and (mat_tex[sph_mat[sv]] >= TEX_IMAGE_BASE).any():
+        raise NotImplementedError(
+            "image textures on SPHERE materials are jnp-engine only "
+            "(equirect UV needs atan2/asin — not lowerable on the "
+            "Pallas VPU); quad/triangle image textures run in-kernel.")
+    row_chunks = []
+    tex_off = {}
+    itex = []
+    off = 0
+    for mid, tex in enumerate(mat_tex):
+        if tex < TEX_IMAGE_BASE:
+            continue
+        tid = int(tex - TEX_IMAGE_BASE)
+        th, tw = int(size[tid, 0]), int(size[tid, 1])
+        if th > KTEX_MAX or tw > KTEX_MAX:
+            raise NotImplementedError(
+                f"image texture {tid} is {th}x{tw} — the in-kernel "
+                f"path is bounded at {KTEX_MAX}x{KTEX_MAX} "
+                f"(PRT_KERNEL_TEX_MAX); larger atlases keep the "
+                f"jnp-engine route.")
+        if tid not in tex_off:
+            img = np.clip(np.round(atlas[tid, :th, :tw] * 255.0),
+                          0.0, 255.0)
+            packed = (img[..., 0] * 65536.0 + img[..., 1] * 256.0
+                      + img[..., 2]).reshape(-1)
+            pad = (-len(packed)) % LANES
+            if pad:
+                packed = np.concatenate([packed, np.zeros(pad)])
+            rows = packed.reshape(-1, LANES).astype(np.float32)
+            tex_off[tid] = off
+            row_chunks.append(rows)
+            off += rows.shape[0]
+        itex.append((float(mid), int(tex_off[tid]), th, tw))
+    return tuple(itex), np.concatenate(row_chunks, axis=0)
 
 
 def pack_lights_table(scene: SceneData) -> np.ndarray:
@@ -1302,7 +1373,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       tri_hot_get=None, tri_hot_n: int = 0,
                       checker: tuple = (),
                       tri_stream: int = 0, tri_stream_refs=None,
-                      tri_hbm_ref=None):
+                      tri_hbm_ref=None,
+                      itex: tuple = (), itex_ref=None):
     # Partial SMEM hot prefix (plan_table's large case) requires the
     # hot/cold split: the SMEM body reads ONLY hot lanes through it.
     assert tri_hot_get is None or tri_cold_get is not None
@@ -1368,15 +1440,25 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             # explicit active mask in the hot per-node test).  Their fold
             # results are garbage but every consumer is alive-masked.
             best_t = jnp.where(active_b, BIG, -BIG)
+            # Extra carried planes on textured scenes only (untextured
+            # scenes compile them away): the winning material id (slot
+            # 10, checker OR image textures) and the winner's surface
+            # UV (slots 11-12, image textures — each body passes its
+            # FINAL uv so no per-kind decode is needed post-fold;
+            # spheres are never image-textured in-kernel: no
+            # atan2/asin lowering on the VPU, builder-enforced).
+            need_mid = bool(checker) or bool(itex)
+            need_uv = bool(itex)
             carry0 = (best_t, f0, f0, f0, f0,
                       f0, f0, f0, f0,
                       jnp.full(shape, float(1 << 24), jnp.float32))  # best_ord
-            if checker:
-                # Winning material id, appended LAST (consumers index
-                # best_ord as carry[9]) — carried only on checker scenes.
+            if need_mid:
                 carry0 = carry0 + (f0,)
+            if need_uv:
+                carry0 = carry0 + (f0, f0)
 
-            def fold(carry, t, ok, flags, gxp, gyp, gzp, mat, ordv):
+            def fold(carry, t, ok, flags, gxp, gyp, gzp, mat, ordv,
+                     uv=None):
                 (best_t, gx, gy, gz, fl,
                  m_c0, m_c1, m_c2, m_extra, best_ord) = carry[:10]
                 # strict < with lowest-original-ordinal tie-break: primitives
@@ -1390,8 +1472,11 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                        sel(mat[1], m_c0), sel(mat[2], m_c1),
                        sel(mat[3], m_c2), sel(mat[4], m_extra),
                        sel(ordv, best_ord))
-                if checker:
+                if need_mid:
                     out = out + (sel(mat[5], carry[10]),)
+                if need_uv:
+                    u_p, v_p = uv if uv is not None else (f0, f0)
+                    out = out + (sel(u_p, carry[11]), sel(v_p, carry[12]))
                 return out
 
             def make_slab(sox, soy, soz, six, siy, siz):
@@ -1688,7 +1773,13 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 # Deferred normal: raw unit plane normal; front-face sign is
                 # applied after the fold.
                 flags = fr + 4.0 * mat[0]
-                return fold(carry, t, ok, flags, qnx, qny, qnz, mat, ordv)
+                uv = None
+                if need_uv:
+                    # half-extent coords: a,b = rel . us/vs, u = (a+1)/2
+                    # (ops/intersect.py quad uv semantics)
+                    uv = (0.5 + 0.5 * a, 0.5 + 0.5 * b)
+                return fold(carry, t, ok, flags, qnx, qny, qnz, mat, ordv,
+                            uv)
 
             quad_cl = cluster_refs[1] if cluster_refs else None
             carry = clustered(n_quad, quad_cl, quad_body, carry,
@@ -1742,8 +1833,17 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                     # (unnormalized, unflipped — backface flip rides the
                     # front flag, shape.h:294-302).
                     flags = fr + 4.0 * mat[0]
+                    uv = None
+                    if need_uv:
+                        # barycentric texcoord blend (rows 27-32 on
+                        # image-textured scenes; intersect.py t_uv)
+                        u0, v0_ = nc(11), nc(12)
+                        u1, v1_ = nc(13), nc(14)
+                        u2, v2_ = nc(15), nc(16)
+                        uv = (b0 * u0 + b1 * u1 + b2_ * u2,
+                              b0 * v0_ + b1 * v1_ + b2_ * v2_)
                     return fold(carry, t, ok, flags, inx, iny, inz, mat,
-                                ordv)
+                                ordv, uv)
                 return tri_body
 
             tri_cl = cluster_refs[2] if cluster_refs else None
@@ -1929,6 +2029,68 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         nx = nrx * sgn_n
         ny = nry * sgn_n
         nz = nrz * sgn_n
+
+        if itex:
+            # In-kernel IMAGE textures (bounded: quad/tri materials,
+            # textures <= PRT_KERNEL_TEX_MAX^2 texels — engines/tables
+            # validates).  Each texture is u8-quantized and packed
+            # r*65536+g*256+b into f32 rows of 128 texels (exact ints
+            # < 2^24); the per-lane texel fetch is a STATIC row loop +
+            # take_along_axis lane gather (the one per-lane dynamic
+            # indexing Mosaic supports), so cost scales with texture
+            # rows, not size of the scene.  Bilinear with repeat wrap —
+            # the ops/textures.sample_atlas semantics (sample MULTIPLIES
+            # the base albedo).  Substituted before every consumer,
+            # like the checker.
+            m_id = carry[10]
+            u_c = carry[11]
+            v_c = carry[12]
+            u_w = u_c - jnp.floor(u_c)
+            v_w = v_c - jnp.floor(v_c)
+            for (cm, toff, th, tw) in itex:
+                thf, twf = float(th), float(tw)
+                x = u_w * twf - 0.5
+                y = (1.0 - v_w) * thf - 0.5
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                fx = x - x0
+                fy = y - y0
+                n_rows = -(-(th * tw) // LANES)
+
+                def wrap(val, ext):
+                    return val - ext * jnp.floor(val * (1.0 / ext))
+
+                def fetch(yi, xi):
+                    idx = (wrap(yi, thf) * twf
+                           + wrap(xi, twf)).astype(jnp.int32)
+                    row = idx >> 7
+                    lane = idx & 127
+                    val = f0
+                    for r_i in range(n_rows):
+                        rv = jnp.broadcast_to(
+                            itex_ref[pl.ds(toff + r_i, 1), :], shape)
+                        cand = jnp.take_along_axis(rv, lane, axis=1)
+                        val = jnp.where(row == r_i, cand, val)
+                    # decode packed u24 -> r,g,b in [0,1]
+                    r8 = jnp.floor(val * (1.0 / 65536.0))
+                    rem = val - r8 * 65536.0
+                    g8 = jnp.floor(rem * (1.0 / 256.0))
+                    b8 = rem - g8 * 256.0
+                    s = 1.0 / 255.0
+                    return r8 * s, g8 * s, b8 * s
+
+                c00 = fetch(y0, x0)
+                c01 = fetch(y0, x0 + 1.0)
+                c10 = fetch(y0 + 1.0, x0)
+                c11 = fetch(y0 + 1.0, x0 + 1.0)
+                smp = tuple(
+                    (c00[k] * (1.0 - fx) + c01[k] * fx) * (1.0 - fy)
+                    + (c10[k] * (1.0 - fx) + c11[k] * fx) * fy
+                    for k in range(3))
+                selt = m_id == cm
+                m_c0 = jnp.where(selt, smp[0] * m_c0, m_c0)
+                m_c1 = jnp.where(selt, smp[1] * m_c1, m_c1)
+                m_c2 = jnp.where(selt, smp[2] * m_c2, m_c2)
 
         if checker:
             # Procedural 3D checker albedo (Scene.add_checker): the
@@ -2198,7 +2360,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        tri_split=False, itri_split=False,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
                        tri_part=False, checker: tuple = (),
-                       depth_out=False, tri_stream=0):
+                       depth_out=False, tri_stream=0, itex: tuple = ()):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -2216,6 +2378,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                dz_ref, sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
         rest = list(rest)
+        itex_ref = rest.pop(0) if itex else None
         tri_stream_refs = None
         if tri_stream:  # scratch order: ..., tri scratch, tri DMA sem
             t_sem = rest.pop()
@@ -2265,7 +2428,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 tree_starts=starts, tri_hot_get=tri_hot_get,
                 tri_hot_n=tri_hot_n, checker=checker,
                 tri_stream=tri_stream, tri_stream_refs=tri_stream_refs,
-                tri_hbm_ref=tri_ref)
+                tri_hbm_ref=tri_ref, itex=itex, itex_ref=itex_ref)
 
         step = mk_step((0, 0, 0))
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
@@ -2379,7 +2542,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
                      "tail_roots", "tail_depth", "checker", "depth_out",
-                     "tri_stream"))
+                     "tri_stream", "itex"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -2395,6 +2558,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  tri_hot=None, checker: tuple = (),
                  depth_out: bool = False, tri_stream: int = 0,
+                 itex: tuple = (), itex_tab=None,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -2432,7 +2596,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tail_roots, tail_depth,
                                 tri_part=tri_hot is not None,
                                 checker=checker, depth_out=depth_out,
-                                tri_stream=tri_stream)
+                                tri_stream=tri_stream, itex=itex)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2465,6 +2629,11 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         if itri_cold is not None:
             inst_arrays.append(itri_cold)
             inst_specs.append(vmem_full)
+    itex_arrays = []
+    itex_specs = []
+    if itex:
+        itex_arrays = [itex_tab]
+        itex_specs = [vmem_full]
     n_out = 4 if depth_out else 3
     out_specs = [ray_spec] * n_out
     out_shape = [jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
@@ -2483,13 +2652,14 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 7, *tab_specs,
-                  smem, smem, smem, smem, smem, *cold_specs, *inst_specs],
+                  smem, smem, smem, smem, smem, *itex_specs,
+                  *cold_specs, *inst_specs],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interp,
     )(seed, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights, *cold_arrays, *inst_arrays)
+      mats, lights, *itex_arrays, *cold_arrays, *inst_arrays)
 
     rr, rg, rb = out[:3]
     rad = jnp.stack([rr.reshape(r), rg.reshape(r), rb.reshape(r)], axis=1)
@@ -2513,7 +2683,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          vmem_kinds=(False, False, False),
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                          tri_split=False, itri_split=False,
-                         checker: tuple = (), tri_stream=0):
+                         checker: tuple = (), tri_stream=0,
+                         itex: tuple = ()):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -2522,6 +2693,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                sph_ref, quad_ref, tri_ref, sph_cl, quad_cl, tri_cl,
                mats_ref, lights_ref, *rest):
         rest = list(rest)
+        itex_ref = rest.pop(0) if itex else None
         tri_stream_refs = None
         if tri_stream:
             t_sem = rest.pop()
@@ -2571,7 +2743,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
             stack_ref, None, tri_cold_get, itri_cold_get,
             checker=checker, tri_stream=tri_stream,
-            tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref)
+            tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref,
+            itex=itex, itex_ref=itex_ref)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -2609,7 +2782,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                    nee: bool = False, inst=None, itri_vmem: bool = False,
                    tri_cold=None, itri_cold=None, checker: tuple = (),
-                   tri_stream: int = 0):
+                   tri_stream: int = 0, itex: tuple = (), itex_tab=None):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -2648,7 +2821,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   n_inst, itri_vmem,
                                   tri_cold is not None,
                                   itri_cold is not None,
-                                  checker=checker, tri_stream=tri_stream)
+                                  checker=checker, tri_stream=tri_stream,
+                                  itex=itex)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2659,6 +2833,11 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
     tab_specs = [vmem_full if vm else smem for vm in vmem_kinds]
     if tri_stream:  # streamed big-mesh triangles stay in HBM
         tab_specs[2] = pl.BlockSpec(memory_space=pltpu.ANY)
+    itex_arrays = []
+    itex_specs = []
+    if itex:
+        itex_arrays = [itex_tab]
+        itex_specs = [vmem_full]
     cold_arrays = []
     cold_specs = []
     if tri_cold is not None:
@@ -2680,14 +2859,15 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, *[ray_spec] * 14, *tab_specs,
-                  smem, smem, smem, smem, smem, *cold_specs, *inst_specs],
+                  smem, smem, smem, smem, smem, *itex_specs,
+                  *cold_specs, *inst_specs],
         out_specs=[ray_spec] * 13,
         out_shape=[jax.ShapeDtypeStruct((n_tiles * rows, LANES), jnp.float32)
                    ] * 13,
         scratch_shapes=scratch,
         interpret=interp,
     )(scalars, *planes, sph_tab, quad_tab, tri_tab, sph_cl, quad_cl, tri_cl,
-      mats, lights, *cold_arrays, *inst_arrays)
+      mats, lights, *itex_arrays, *cold_arrays, *inst_arrays)
 
     flat = [p.reshape(r) for p in out]
     return flat[:12], flat[12]

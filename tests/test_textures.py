@@ -165,14 +165,65 @@ def test_image_jnp_engines_agree():
         np.testing.assert_allclose(imgs[0], other, atol=2e-7)
 
 
-def test_pallas_engines_refuse_image_textures_loudly():
-    # "tlas" routes through the fused in-kernel TLAS, so it refuses at
-    # the same gate.
-    for engine in ("fused", "wavefront_fused", "sharded", "tlas"):
-        film = Film(CFG.width, CFG.height)
-        r = create_renderer(engine)
-        with pytest.raises(NotImplementedError, match="jnp-engine only"):
-            r.init(film, image_scene(), CAM, CFG)
+def test_pallas_engines_render_small_image_textures():
+    # Round-4 upgrade: bounded image textures (<= PRT_KERNEL_TEX_MAX per
+    # axis, quad/triangle materials) run IN-KERNEL via the packed-u24
+    # row-loop + lane-gather fetch (pallas_trace pack_kernel_textures) —
+    # auto no longer routes small-texture scenes off the fast engines.
+    cam = Camera((0.0, 8.0, 0.01), (0.0, -1.0, -0.001), 64, 32)
+    b = render("fused", image_scene(), cam, frames=10, rows=2)
+    c = render("wavefront_fused", image_scene(), cam, frames=10,
+               rows=2, segment=2)
+    # the shared-PCG contract survives texturing
+    assert np.array_equal(b, c), "image tex broke fused==wavefront_fused"
+    # the quadrants land where the uv mapping puts them (cf. the
+    # megakernel quadrant test): bl=red, br=green, tl=blue
+    im = b.reshape(32, 64, 3)
+    h, w = 32, 64
+    doms = {
+        "tl": int(np.argmax(im[2:h // 2 - 2, 18:w // 2 - 2]
+                            .mean(axis=(0, 1)))),
+        "bl": int(np.argmax(im[h // 2 + 2:h - 2, 18:w // 2 - 2]
+                            .mean(axis=(0, 1)))),
+        "br": int(np.argmax(im[h // 2 + 2:h - 2, w // 2 + 2:46]
+                            .mean(axis=(0, 1)))),
+    }
+    assert doms["tl"] == 2 and doms["bl"] == 0 and doms["br"] == 1, doms
+
+
+def test_pallas_image_matches_oracle_statistically():
+    # Same scene, same spp: the in-kernel u8-quantized bilinear must
+    # agree with the jnp float-atlas path up to MC noise + quantization
+    # (the quadrant image is u8-exact, so only MC noise remains).
+    cam = Camera((0.0, 8.0, 0.01), (0.0, -1.0, -0.001), 64, 32)
+    a = render("megakernel", image_scene(), cam, frames=24)
+    b = render("fused", image_scene(), cam, frames=24, rows=2)
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+    assert float(np.sqrt(np.mean((a - b) ** 2))) < 0.12
+
+
+def test_pallas_engines_refuse_oversize_and_sphere_textures():
+    # the bounded in-kernel path refuses loudly OUTSIDE its envelope:
+    # textures beyond PRT_KERNEL_TEX_MAX per axis...
+    s = Scene(None)
+    big = np.zeros((256, 256, 3))
+    tid = s.add_texture(big)
+    m = s.add_textured_lambertian(tid)
+    s.add_quad(8.0, 8.0, m, ((1, 1, 1), (0, 0, 0), (0, 0, 0)))
+    film = Film(CFG.width, CFG.height)
+    r = create_renderer("fused")
+    with pytest.raises(NotImplementedError, match="jnp-engine"):
+        r.init(film, s, CAM, CFG)
+    # ...and image textures on SPHERES (equirect needs atan2/asin,
+    # which Mosaic does not lower)
+    s2 = Scene(None)
+    tid2 = s2.add_texture(quadrant_image())
+    m2 = s2.add_textured_lambertian(tid2)
+    s2.add_sphere(1.0, m2, ((1, 1, 1), (0, 0, 0), (0, 1, 0)))
+    film = Film(CFG.width, CFG.height)
+    r = create_renderer("wavefront_fused")
+    with pytest.raises(NotImplementedError, match="SPHERE"):
+        r.init(film, s2, CAM, CFG)
 
 
 def test_tlas_refuses_image_textures_on_instances():
