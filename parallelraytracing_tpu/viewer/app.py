@@ -168,7 +168,8 @@ class ViewerState:
     HTTP handlers."""
 
     def __init__(self, scene, camera, cfg, engine_name: str,
-                 preview_scale: int = 1):
+                 preview_scale: int = 1,
+                 display_interval_ms: float = 250.0):
         import jax
 
         from parallelraytracing_tpu import Film, available_engines, create_renderer
@@ -220,6 +221,18 @@ class ViewerState:
         self.frame = 0
         self.png_cache = b""
         self.stop = False
+        # Display decimation: on TPU the per-frame device->host display
+        # fetch + tonemap costs a large fraction of a render frame
+        # (measured ~80 ms at 512x384 vs 58 ms render — unlike the
+        # reference's free device->GL blit, opengl_utils.cpp:51-70), so
+        # the render loop FREE-RUNS and the display snapshots on a wall
+        # cadence instead (default 10 Hz; 0 restores per-frame
+        # display).  Progressive accumulation is unaffected — only how
+        # often the browser sees it.
+        self.display_interval_ms = float(display_interval_ms)
+        self._last_display_t = 0.0
+        self._pending = 0                       # pipelined-frame window
+        self._window_t0 = time.perf_counter()
 
         # Per-stage 100-frame ring buffers (main.cpp:177-184 analogue).
         self.history = {k: collections.deque(maxlen=HISTORY)
@@ -290,16 +303,22 @@ class ViewerState:
         self.renderer.reset_progressive()
 
     def _preview_renderer(self, name: str):
-        """The engine's low-res twin for motion preview (same scene and
-        semantics, 1/preview_scale resolution); cached warm like the
-        full-res engines."""
+        """The low-res twin for motion preview (1/preview_scale
+        resolution); cached warm like the full-res engines.  The twin is
+        ALWAYS the fused megakernel regardless of the selected engine:
+        preview frames are latency-bound, and the segmented engines'
+        per-segment dispatch/argsort chain has a ~50 ms fixed cost that
+        dwarfs the small frame (measured: wavefront_fused at 256x192
+        costs ~60 ms where fused costs ~25), while semantics are
+        identical (shared PCG streams, tested bit-equal engine pairs)."""
         from parallelraytracing_tpu import create_renderer
-        r = self.preview_cache.get(name)
+        del name  # one shared twin for every engine
+        r = self.preview_cache.get("fused")
         if r is None:
-            r = create_renderer(name)
+            r = create_renderer("fused")
             r.init(self.preview_film, self.scene, self.camera,
                    self.preview_cfg)
-            self.preview_cache[name] = r
+            self.preview_cache["fused"] = r
         else:
             self.preview_film.set_layout(r.film_layout())
         return r
@@ -364,26 +383,50 @@ class ViewerState:
             self.previewing = False
 
         if self.previewing:
-            renderer, film = self.preview_cache[self.engine_name], \
+            renderer, film = self.preview_cache["fused"], \
                 self.preview_film
         else:
             renderer, film = self.renderer, self.film
 
+        # Pipelined dispatch (the frame-scale form of the reference's
+        # own no-per-bounce-sync rule, renderer.cu:422-425): on this
+        # tunneled TPU a per-frame device_sync costs ~35-40 ms of pure
+        # round-trip latency on top of the render, so frames DISPATCH
+        # asynchronously and the loop syncs only at display snapshots —
+        # or every MAX_PENDING frames, which bounds input-to-photon
+        # latency (controls apply to the next dispatched frame).
+        MAX_PENDING = 4
         t0 = time.perf_counter()
         renderer.progressive_render()
-        device_sync(film.accum)
-        t1 = time.perf_counter()
-        if self.denoise and not self.previewing:
-            display = self._denoised_display()
+        # _pending counts DISPATCHED-not-synced frames and persists
+        # across film clears: it bounds the device queue depth (and so
+        # input latency) — resetting it on motion would let the
+        # dispatch rate outrun completion unboundedly during a drag.
+        self._pending += 1
+        now = time.perf_counter()
+        do_display = (self.frame == 0 or self.display_interval_ms <= 0.0
+                      or (now - self._last_display_t) * 1e3
+                      >= self.display_interval_ms)
+        if do_display or self._pending >= MAX_PENDING:
+            device_sync(film.accum)
+            t1 = time.perf_counter()
+            # per-frame render cost averaged over the pipelined window
+            self.render_ms = (t1 - self._window_t0) * 1e3 / self._pending
+            self._pending = 0
+            self._window_t0 = t1
         else:
-            display = film.display_numpy()  # tonemap + fetch
+            t1 = time.perf_counter()
+        if do_display:
+            if self.denoise and not self.previewing:
+                display = self._denoised_display()
+            else:
+                display = film.display_numpy()  # tonemap + fetch
+            # hand off to the encoder thread (never blocks the loop)
+            self._encode_buf = display
+            self._encode_ready.set()
+            self._last_display_t = time.perf_counter()
         t2 = time.perf_counter()
 
-        # hand off to the encoder thread (never blocks the loop)
-        self._encode_buf = display
-        self._encode_ready.set()
-
-        self.render_ms = (t1 - t0) * 1e3
         tonemap_ms = (t2 - t1) * 1e3
         total_ms = (t2 - t0) * 1e3
         self.fps = 1.0 / max(t2 - t0, 1e-9)
@@ -474,6 +517,16 @@ def main(argv=None) -> int:
                    help="render at 1/N resolution while the camera moves "
                         "(N^2 fewer rays -> interactive orbiting), full "
                         "resolution at rest; 1 disables")
+    p.add_argument("--display-interval-ms", type=float, default=250.0,
+                   help="display-snapshot cadence: the render loop "
+                        "free-runs and the browser frame refreshes at "
+                        "most this often (the device->host display fetch "
+                        "costs a large fraction of a render frame on "
+                        "TPU; 0 = fetch every frame)")
+    p.add_argument("--rr", type=int, default=0, metavar="DEPTH",
+                   help="Russian-roulette start depth (0 off; rr=2 is "
+                        "the measured interactive sweet spot on mesh "
+                        "scenes — RESULTS.md round 4)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -488,7 +541,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth, seed=0,
                        lens_radius=args.lens_radius,
-                       focus_distance=args.focus_distance, qmc=args.qmc)
+                       focus_distance=args.focus_distance, qmc=args.qmc,
+                       russian_roulette_depth=args.rr)
     if args.ply:
         import numpy as _np
 
@@ -504,7 +558,8 @@ def main(argv=None) -> int:
         scene = Scene(ScenePreset(args.scene))
         cam = default_camera(args.width, args.height)
     state = ViewerState(scene, cam, cfg, args.engine,
-                        preview_scale=args.preview_scale)
+                        preview_scale=args.preview_scale,
+                        display_interval_ms=args.display_interval_ms)
 
     server = ThreadingHTTPServer(("127.0.0.1", args.port),
                                  make_handler(state))
