@@ -203,9 +203,11 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         other += sum(smem_padded_bytes(a.shape)
                      for a in (iacc, ibox, inst))
     if tri_stream:
-        # streamed big-mesh: the whole 27-row table rides HBM as
-        # (rows, 128); the kernel DMAs chunk-aligned leaves to scratch
-        tri_tab = to_vmem_rows(tri)
+        # streamed big-mesh: pack_scene_tables already assembled the
+        # per-chunk HBM blocks (triangle rows + in-block mini-tree,
+        # _assemble_stream_blocks); the kernel DMAs whole blocks to
+        # scratch on chunk entry
+        tri_tab = tri
         tri_cold = tri_hot = None
         tri_vm = True
     else:
