@@ -304,16 +304,20 @@ def main() -> None:
         bunny_scene = mesh_scene("bunny")
         dragon_scene = mesh_scene("dragon")
 
-        def big_mesh_scene():
-            # 320k-triangle dragon (2x midpoint subdivision of the
-            # bundled 20k scan — identical surface): exercises the
-            # STREAMED big-mesh path (HBM-resident triangles, chunked
-            # SAH leaves DMA'd to VMEM — ops/pallas_trace
-            # STREAM_THRESHOLD), the >=250k regime the reference's
-            # OptiX GAS would ingest (optix/renderer.cpp:703-765).
+        def big_mesh_scene(level=2):
+            # Subdivided dragon (midpoint subdivision of the bundled 20k
+            # scan — identical surface): level 2 = 320k triangles (the
+            # round-over-round comparable row), level 3 = 1.28M — BEYOND
+            # the canonical 871k-triangle dragon scan, the scale the
+            # reference's OptiX GAS ingests through optixAccelBuild
+            # (optix/renderer.cpp:703-765).  Exercises the STREAMED
+            # big-mesh path: HBM-resident per-chunk blocks with in-block
+            # mini-trees, SMEM scratch + residency cache + DMA pipeline
+            # (ops/pallas_trace STREAM_*).
             from parallelraytracing_tpu.core.mesh import subdivide
             mesh = subdivide(
-                load_ply("/root/reference/assets/models/dragon.ply"), 2)
+                load_ply("/root/reference/assets/models/dragon.ply"),
+                level)
             s = Scene(preset=None)
             mat = s.add_lambertian((0.75, 0.65, 0.5))
             s.add_mesh(mesh, mat, ((8, 8, 8), (0, 180, 0), (0, 8, 0)))
@@ -388,9 +392,17 @@ def main() -> None:
             "multimesh_tlas_1080p_64spp": (multimesh_scene, mmf_cam,
                                            mmf_cfg,
                                            ["wavefront_fused", "fused"]),
-            # LAST (largest compile): the >=250k-triangle streamed row
+            # LAST (largest compiles): the streamed big-mesh rows
             "big_mesh_320k_stream_halfres_d8": (
                 big_mesh_scene,
+                Camera(np.array([0.0, 14.0, 28.0]),
+                       np.array([0.0, -7.0, -28.0]),
+                       float(mm_w), float(mm_h), 100.0),
+                mm_cfg, ["wavefront_fused"]),
+            # canonical-scale mesh (VERDICT r4 item 1): 1.28M triangles
+            # — beyond the full-resolution 871k dragon scan
+            "big_mesh_1280k_stream_halfres_d8": (
+                lambda: big_mesh_scene(3),
                 Camera(np.array([0.0, 14.0, 28.0]),
                        np.array([0.0, -7.0, -28.0]),
                        float(mm_w), float(mm_h), 100.0),
@@ -521,6 +533,70 @@ def main() -> None:
             ref = frender("megakernel", ico_scene(True), tcam, fcfg, tspp)
             gate_entry("tlas_blas", img, ref, tspp, scene="ico_instances",
                        equal_streams=False)
+
+            # ---- streamed big-mesh vs dense: BIT-IDENTICAL on real
+            # hardware, asserted EVERY bench run (VERDICT r4 item 7).
+            # Small subdivided mesh with the stream machinery forced on
+            # (module thresholds), vs the same scene through the dense
+            # tables — same engine, same pixel-keyed streams: RMSE must
+            # be exactly 0.0.
+            import parallelraytracing_tpu.ops.pallas_trace as _pt
+            from parallelraytracing_tpu.core.mesh import subdivide
+
+            def stream_scene():
+                ico2 = subdivide(load_ply(
+                    "/root/reference/assets/models/icosahedron.ply"), 2)
+                s = Scene(preset=None)
+                red = s.add_lambertian((0.8, 0.2, 0.1))
+                s.add_mesh(ico2, red, ((2.0,) * 3, (0, 20, 0), (0, 2, 0)))
+                g = s.add_lambertian((0.5, 0.5, 0.55))
+                s.add_quad(30, 30, g, None)
+                li = s.add_emissive((9, 9, 8))
+                s.add_sphere(2.0, li, ((1, 1, 1), (0, 0, 0), (6, 10, 6)))
+                return s
+
+            scam = Camera(np.array([0.0, 4.0, 10.0]),
+                          np.array([0.0, -2.5, -10.0]),
+                          float(fw), float(fh), 100.0)
+            scfg = fcfg.replace(samples_per_frame=1)
+            old_thr, old_chunk = _pt.STREAM_THRESHOLD, _pt.STREAM_CHUNK
+            try:
+                _pt.STREAM_THRESHOLD, _pt.STREAM_CHUNK = 64, 32
+                s_img = frender("wavefront_fused", stream_scene(), scam,
+                                scfg, 4)
+            finally:
+                _pt.STREAM_THRESHOLD, _pt.STREAM_CHUNK = old_thr, old_chunk
+            d_img = frender("wavefront_fused", stream_scene(), scam,
+                            scfg, 4)
+            rmse_s = float(np.sqrt(np.mean((s_img - d_img) ** 2)))
+            fidelity["stream_vs_dense"] = {
+                "rmse_hdr_vs_oracle": round(rmse_s, 9), "spp": 4,
+                "pass": bool(np.array_equal(s_img, d_img)),
+                "scene": "ico_subdiv_320tri", "bit_identical_required": True}
+
+            # ---- in-kernel image textures vs the jnp oracle (VERDICT r4
+            # item 7): a sky-lit image-textured quad + triangle pair
+            # (low variance), fused's packed-u24 lane-gather fetch vs the
+            # megakernel's ops/textures sampler, converged under the gate.
+            def tex_scene():
+                yy, xx = np.mgrid[0:16, 0:16]
+                img16 = np.stack([(xx % 8) / 7.0, (yy % 8) / 7.0,
+                                  ((xx + yy) % 16) / 15.0], axis=-1)
+                s = Scene(preset=None)
+                tid = s.add_texture(img16)
+                tm = s.add_textured_lambertian(tid)
+                s.add_quad(6, 6, tm, ((1, 1, 1), (60, 0, 0), (0, 4, -4)))
+                g = s.add_lambertian((0.5, 0.5, 0.52))
+                s.add_quad(40, 40, g, None)
+                return s
+
+            xcam = Camera(np.array([0.0, 5.0, 10.0]),
+                          np.array([0.0, -2.0, -10.0]),
+                          float(fw), float(fh), 100.0)
+            img = frender("fused", tex_scene(), xcam, fcfg, fspp)
+            ref = frender("megakernel", tex_scene(), xcam, fcfg, fspp)
+            gate_entry("textured_image", img, ref, fspp,
+                       scene="textured_quad_sky", equal_streams=False)
 
             fidelity["pass"] = all(
                 v.get("pass", True) for v in fidelity.values()

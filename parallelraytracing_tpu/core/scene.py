@@ -666,6 +666,16 @@ def _init_texture_demo(scene: Scene) -> None:
         0.25 + 0.7 * (yy / 31.0)], axis=2)
     wall = scene.add_textured_lambertian(scene.add_texture(img))
     scene.add_quad(6, 4, wall, ((1, 1, 1), (90, 0, 0), (0.0, 4.0, -9.0)))
+    # An image-textured SPHERE (procedural latitude-band globe): the
+    # r5 in-kernel equirect path (deferred UV from the carried center
+    # via vpu_atan2/vpu_asin) — renders on the Pallas engines too.
+    gy, gx = np.meshgrid(np.arange(48), np.arange(96), indexing="ij")
+    globe = np.stack([
+        0.2 + 0.6 * (np.sin(gy * np.pi / 12.0) > 0),
+        0.3 + 0.5 * ((gx // 12) % 2),
+        0.7 - 0.5 * np.abs(gy / 47.0 - 0.5) * 2.0], axis=2)
+    ball = scene.add_textured_lambertian(scene.add_texture(globe))
+    scene.add_sphere(1.4, ball, ((1, 1, 1), (0, 25, 0), (0.0, 1.4, -4.0)))
 
 
 def _init_sky_demo(scene: Scene) -> None:

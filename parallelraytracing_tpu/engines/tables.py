@@ -74,6 +74,9 @@ class PallasSceneTables:
     #: HBM as (rows, 128); chunk-aligned SAH leaves DMA into VMEM
     #: scratch on entry (pallas_trace STREAM_THRESHOLD/STREAM_CHUNK)
     tri_stream: int = 0
+    #: triangles per 128-lane scratch row in the streamed layout (attrs
+    #: at static lane offsets k*(128/pack)); 1 on dense tables
+    tri_pack: int = 1
     #: static in-kernel image-texture spec ((mat id, row off, th, tw),
     #: ...) — empty on non-image scenes (texture path compiled away)
     itex: Tuple = ()
@@ -86,7 +89,7 @@ jax.tree_util.register_dataclass(
                  "inst", "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
                  "tail_roots", "eye_dependent", "checker", "tri_stream",
-                 "itex"],
+                 "tri_pack", "itex"],
 )
 
 
@@ -140,13 +143,6 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         plan_table, smem_padded_bytes, to_vmem_rows)
 
     has_img = any(t >= 2 for t in getattr(scene, "_mat_tex", []))
-    if has_img and getattr(scene, "instances", None):
-        if any(scene._mat_tex[mid] >= 2
-               for (_mi, mid, _m4) in scene.instances):
-            raise NotImplementedError(
-                "image textures on instanced mesh materials are "
-                "jnp-engine only (tlas_ref); flat quad/triangle image "
-                "textures run in-kernel.")
 
     if getattr(scene, "instances", None):
         base = scene.build(bake_instances=False)
@@ -155,16 +151,18 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         ord_base = float(host_scene.sph_valid.shape[0]
                          + host_scene.quad_valid.shape[0]
                          + host_scene.tri_valid.shape[0])
+        # with_uv: instanced image-textured materials read barycentric
+        # texcoords from itri rows 25-30 (r5; was a jnp-only refusal)
         itri, iacc, ibox, inst = pack_instance_tables(
             scene._inst_meshes, scene.instances, ord_base,
-            ordered=(accel == "ordered"))
+            ordered=(accel == "ordered"), with_uv=has_img)
     else:
         scene_data = jax.device_put(scene.build())
         host_scene = jax.device_get(scene_data)
         itri = None
 
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
-     tail_roots, eye_used, tri_stream) = pack_scene_tables(
+     tail_roots, eye_used, tri_stream, tri_pack) = pack_scene_tables(
          host_scene, accel=accel, eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
@@ -274,6 +272,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         tail_roots=tuple(int(x) for x in tail_roots),
         eye_dependent=bool(eye_used),
         tri_stream=int(tri_stream),
+        tri_pack=int(tri_pack),
         itex=tuple(itex),
         checker=tuple(
             (float(i), float(pr[0]), float(pr[1]), float(pr[2]),
@@ -302,4 +301,5 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
         tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out,
-        tri_stream=t.tri_stream, itex=t.itex, itex_tab=t.itex_tab)
+        tri_stream=t.tri_stream, tri_pack=t.tri_pack, itex=t.itex,
+        itex_tab=t.itex_tab)

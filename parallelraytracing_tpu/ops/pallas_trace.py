@@ -860,23 +860,141 @@ STREAM_NODE_ROWS = int(_os.environ.get("PRT_STREAM_NODE", "64"))
 STREAM_SUB = int(_os.environ.get("PRT_STREAM_SUB", "8"))
 
 
+def _mini_threaded_tree(mn: np.ndarray, mx: np.ndarray, leaf: int,
+                        group: int = 1):
+    """Full-sweep-SAH threaded mini-tree over one chunk's (<= align)
+    primitives -> (perm_local, (8, M) table in the _cluster_tree layout,
+    lo*64+span leaf encoding).  Per node: sort on each axis, prefix/
+    suffix box areas via vectorized min/max-accumulate, exact SAH cost
+    at EVERY split position (a sweep build — finer than 16-bin binning
+    at this micro scale), pick the best axis/position.  ~10x cheaper
+    host time than the recursive binned builder (measured: the mini-tree
+    pass dominated canonical-scale packing — 50 s per 320k triangles —
+    and is ~2 s with this), with equal walk quality (TPU A/B in
+    benchmarks/RESULTS.md).
+
+    With group > 1 (the PACKED-row layout: `group` triangles share one
+    128-lane scratch row at static lane offsets): the build partitions
+    GROUPS of `group` consecutive input primitives as indivisible units
+    — leaves are whole groups, so every leaf's slot range is group-
+    aligned and the kernel's per-row multi-triangle fold needs no
+    dynamic lane indexing.  perm_local then has group-padded length
+    (pads = -1 -> zero attr rows: never-hit), lo/span are SLOT ranges,
+    and leaf holds <= leaf slots."""
+    n = len(mn)
+    if group > 1:
+        ng = -(-n // group)
+        gm = np.full((ng * group,), -1, np.int64)
+        gm[:n] = np.arange(n)
+        gids = gm.reshape(ng, group)
+        # masked group unions (pads excluded)
+        gmn = np.full((ng, group, 3), np.inf)
+        gmx = np.full((ng, group, 3), -np.inf)
+        valid = gids >= 0
+        gmn[valid] = mn[gids[valid]]
+        gmx[valid] = mx[gids[valid]]
+        sub_perm, tab = _mini_threaded_tree(
+            gmn.min(1), gmx.max(1), max(1, leaf // group))
+        # expand group perm/encodings back to slots
+        perm = gids[sub_perm].reshape(-1)
+        enc = tab[7]
+        is_leaf = enc >= 0
+        lo = (enc[is_leaf].astype(np.int64) >> 6) * group
+        sp = (enc[is_leaf].astype(np.int64) & 63) * group
+        tab = tab.copy()
+        tab[7, is_leaf] = (lo * 64 + sp).astype(np.float32)
+        return perm, tab
+    cen = (mn + mx) * 0.5
+    perm_out: list = []
+
+    def area_lr(bmn_s, bmx_s):
+        """Prefix and suffix surface areas of a sorted box list."""
+        pmn = np.minimum.accumulate(bmn_s)
+        pmx = np.maximum.accumulate(bmx_s)
+        smn = np.minimum.accumulate(bmn_s[::-1])[::-1]
+        smx = np.maximum.accumulate(bmx_s[::-1])[::-1]
+        d1 = np.maximum(pmx - pmn, 0.0)
+        d2 = np.maximum(smx - smn, 0.0)
+        a1 = d1[:, 0] * d1[:, 1] + d1[:, 1] * d1[:, 2] \
+            + d1[:, 2] * d1[:, 0]
+        a2 = d2[:, 0] * d2[:, 1] + d2[:, 1] * d2[:, 2] \
+            + d2[:, 2] * d2[:, 0]
+        return a1, a2
+
+    def build(ids):
+        """Returns this subtree's column list [(bmn, bmx, enc[, left
+        size])] in preorder; enc = -1.0 marks internal."""
+        sel = mn[ids] <= mx[ids]
+        if sel.all():
+            bmn = mn[ids].min(0)
+            bmx = mx[ids].max(0)
+        else:  # group pads carry inverted boxes; exclude from bounds
+            ok = sel.all(1)
+            bmn = mn[ids[ok]].min(0) if ok.any() else np.ones(3)
+            bmx = mx[ids[ok]].max(0) if ok.any() else -np.ones(3)
+        if len(ids) <= leaf:
+            lo = len(perm_out)
+            perm_out.extend(ids.tolist())
+            return [(bmn, bmx, float(lo * 64 + len(ids)))]
+        k = len(ids)
+        best = None  # (cost, order, split)
+        counts = np.arange(1, k, dtype=np.float64)
+        for ax in range(3):
+            order = np.argsort(cen[ids, ax], kind="stable")
+            a1, a2 = area_lr(mn[ids[order]], mx[ids[order]])
+            cost = a1[:-1] * counts + a2[1:] * (k - counts)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (cost[j], order, j + 1)
+        _, order, half = best
+        left = build(ids[order[:half]])
+        right = build(ids[order[half:]])
+        return [(bmn, bmx, -1.0, len(left))] + left + right
+
+    tree = build(np.arange(n, dtype=np.int64))
+    m = len(tree)
+    out = np.zeros((8, m), np.float32)
+    # escape links, preorder threading: left child escapes to its right
+    # sibling's slot, right child (and leaves) escape like the parent.
+    esc = np.full(m, -1, np.int64)
+
+    def link(i, e):
+        esc[i] = e
+        node = tree[i]
+        if node[2] < 0:  # internal: left at i+1, right after left's size
+            right_at = i + 1 + node[3]
+            link(i + 1, right_at)
+            link(right_at, e)
+
+    link(0, -1)
+    for i, node in enumerate(tree):
+        out[:3, i] = node[0]
+        out[3:6, i] = node[1]
+        out[6, i] = esc[i]
+        out[7, i] = node[2] if node[2] >= 0 else -1.0
+    return np.asarray(perm_out, np.int64), out
+
+
 def _assemble_stream_blocks(tri: np.ndarray, perm: np.ndarray,
                             tree: np.ndarray, mn: np.ndarray,
                             mx: np.ndarray,
                             chunk: int = None, node_rows: int = None,
-                            sub: int = None) -> np.ndarray:
+                            sub: int = None, pack: int = None):
     """Streamed big-mesh HBM layout (r5): per-chunk blocks of
-    (chunk + node_rows) rows x 128 lanes.
+    (chunk // pack + node_rows) rows x 128 lanes; returns (blocks, pack).
 
-    Rows [0, span): the chunk's triangles (one attribute row each, the
-    to_vmem_rows layout); rows [chunk, chunk + Ml): the chunk's OWN
-    threaded mini-tree ([mn3, mx3, miss, enc] in lanes 0-7, the exact
-    (8, M) _sah_threaded_tree column layout transposed), built over the
-    chunk's triangles with STREAM_SUB-sized leaves so an entered chunk
-    tests only the sub-leaves its rays touch.  Triangle columns are
-    reordered by the mini-tree's permutation — safe because the winner
-    fold tie-breaks on the carried global ordinal row, not storage
-    order (images stay bit-identical to the dense path).
+    Rows [0, chunk/pack): the chunk's triangles, `pack` per 128-lane
+    row at static lane offsets k*(128/pack) — a 27-attr triangle wastes
+    101 lanes in the 1-per-row layout, and the DMA'd bytes were the
+    measured bottleneck (~18 GB/frame on the 320k dragon row); packing
+    4 per row quarters them.  Rows [chunk/pack, +Ml): the chunk's OWN
+    threaded mini-tree ([mn3, mx3, miss, enc] in lanes 0-7), built over
+    GROUPS of `pack` consecutive triangles (group-aligned leaves keep
+    every lane offset static in the kernel fold), STREAM_SUB slots per
+    leaf.  Triangle slots are reordered by the mini permutation — safe
+    because the winner fold tie-breaks on the carried global ordinal
+    row, not storage order (images stay bit-identical to the dense
+    path).  Pad slots (grouping remainders) are zero rows: never-hit.
 
     The reference offloads exactly this granularity problem to OptiX's
     GAS builder + RT cores (optix/renderer.cpp:703-765); here the SMEM
@@ -885,10 +1003,16 @@ def _assemble_stream_blocks(tri: np.ndarray, perm: np.ndarray,
     chunk = STREAM_CHUNK if chunk is None else chunk
     node_rows = STREAM_NODE_ROWS if node_rows is None else node_rows
     sub = STREAM_SUB if sub is None else sub
-    block = chunk + node_rows
-    mult = 1 << int(np.ceil(np.log2(chunk + 1)))
     n_attr = tri.shape[0]
     assert n_attr <= LANES
+    if pack is None:
+        pack = 4 if n_attr <= 32 else (2 if n_attr <= 64 else 1)
+    while chunk % pack:
+        pack //= 2
+    stride = LANES // pack
+    tri_rows = chunk // pack
+    block = tri_rows + node_rows
+    mult = 1 << int(np.ceil(np.log2(chunk + 1)))
     leaves = tree[7][tree[7] >= 0].astype(np.int64)
     chunks = leaves // mult
     spans = leaves % mult
@@ -905,26 +1029,46 @@ def _assemble_stream_blocks(tri: np.ndarray, perm: np.ndarray,
         for s in (sub, 2 * sub, 4 * sub):
             if s >= 64:
                 break
-            mperm, cand = _sah_threaded_tree(mn[ids], mx[ids], s)
+            mperm, cand = _mini_threaded_tree(mn[ids], mx[ids], s,
+                                              group=pack)
             if cand.shape[1] <= node_rows:
                 mtab = cand
-                ids = ids[mperm]
+                ids = np.where(mperm >= 0, ids[mperm], -1)
                 break
         if mtab is None:
-            # chained fat leaves (always fits: <= ceil(chunk/48) cols)
-            segs = [(lo, min(48, span - lo)) for lo in range(0, span, 48)]
+            # chained fat leaves (always fits: <= ceil(chunk/48) cols);
+            # 48 is a pack multiple for every supported pack.  Pad the
+            # slot list first so every leaf's slot range is pack-aligned
+            # (pad slots are zero rows: never-hit).
+            ids = np.concatenate(
+                [ids, np.full((-len(ids)) % pack, -1, np.int64)])
+            span_p = len(ids)
+            segs = [(lo, min(48, span_p - lo))
+                    for lo in range(0, span_p, 48)]
             mtab = np.zeros((8, len(segs)), np.float32)
             for k, (lo, sp) in enumerate(segs):
-                mtab[:3, k] = mn[ids[lo:lo + sp]].min(0)
-                mtab[3:6, k] = mx[ids[lo:lo + sp]].max(0)
+                real = ids[lo:lo + sp]
+                real = real[real >= 0]
+                mtab[:3, k] = mn[real].min(0)
+                mtab[3:6, k] = mx[real].max(0)
                 mtab[6, k] = k + 1 if k + 1 < len(segs) else -1.0
                 mtab[7, k] = lo * 64 + sp
         base = c * block
-        out[base: base + span, :n_attr] = tri[:, ids].T
+        # packed triangle rows: slot s -> row s // pack, lanes
+        # [(s % pack) * stride, +n_attr); pad slots (-1) stay zero
+        cols = np.zeros((n_attr, len(ids)), np.float32)
+        real = ids >= 0
+        cols[:, real] = tri[:, ids[real]]
+        n_slots = len(ids)
+        assert n_slots % pack == 0 and n_slots // pack <= tri_rows
+        blk = cols.T.reshape(n_slots // pack, pack, n_attr)
+        for p in range(pack):
+            out[base: base + n_slots // pack,
+                p * stride: p * stride + n_attr] = blk[:, p, :]
         ml = mtab.shape[1]
         assert ml <= node_rows
-        out[base + chunk: base + chunk + ml, :8] = mtab.T
-    return out
+        out[base + tri_rows: base + tri_rows + ml, :8] = mtab.T
+    return out, pack
 
 # Cluster count above which "auto" picks the BVH walk over the linear
 # scan for a kind.  With the binned-SAH build (exact leaf bounds) the
@@ -1163,6 +1307,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     t_mn2 = np.where(tvd[:, None], t_mn[t_ord], np.float64(1.0))
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri_stream = 0
+    tri_pack = 1
     if (len(tvd) > STREAM_THRESHOLD and accel in ("auto", "tree")):
         # Streamed big-mesh path (see _sah_threaded_tree align doc +
         # _assemble_stream_blocks): chunk-aligned SAH top leaves, each
@@ -1174,7 +1319,8 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
             t_mn2, t_mx2, STREAM_CHUNK, align=STREAM_CHUNK,
             collapse_tau=COLLAPSE_TAU, collapse_abs=COLLAPSE_ABS,
             tile_k=TILE_SAH_K)
-        tri = _assemble_stream_blocks(tri, perm, tree, t_mn2, t_mx2)
+        tri, tri_pack = _assemble_stream_blocks(tri, perm, tree,
+                                                t_mn2, t_mx2)
         tri_cl = tree
         tri_troot = -1
     else:
@@ -1187,13 +1333,57 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
             np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot),
-            eye_used[0], tri_stream)
+            eye_used[0], tri_stream, tri_pack)
 
 
 #: largest per-axis image-texture size the Pallas kernels accept: the
 #: per-lane texel fetch is a static row loop (cost ∝ texels/128), so
 #: textures are bounded; larger atlases keep the jnp-engine route.
-KTEX_MAX = int(_os.environ.get("PRT_KERNEL_TEX_MAX", "64"))
+#: r5: raised 64 -> 128 with the measured per-row fetch cost in
+#: benchmarks/RESULTS.md (the bound is fetch COST, not memory).
+KTEX_MAX = int(_os.environ.get("PRT_KERNEL_TEX_MAX", "128"))
+
+
+def _fit_atan_coeffs(deg: int = 8) -> tuple:
+    """Least-squares fit of atan(t)/t as a polynomial in t^2 on [0,1]
+    (dense sampling; deterministic).  Max |error| of the resulting
+    atan(t) ~ 4e-8 rad at deg 8 — far below a texel at any supported
+    atlas size.  Fitted once at import; the kernel evaluates the odd
+    polynomial with a static Horner chain (VPU mul/add only)."""
+    t = np.linspace(0.0, 1.0, 4001)[1:]
+    y = np.arctan(t) / t
+    v = np.vander(t * t, deg + 1, increasing=True)
+    co, *_ = np.linalg.lstsq(v, y, rcond=None)
+    return tuple(float(c) for c in co)
+
+
+_ATAN_CO = _fit_atan_coeffs()
+
+
+def vpu_atan2(z, x):
+    """atan2 via octant reduction + odd minimax-ish polynomial — only
+    select/abs/min/max/mul/add/div (all VPU-lowerable; Mosaic has no
+    transcendental atan).  Matches jnp.arctan2 to ~1e-7 rad; the
+    in-kernel sphere equirect UV path (the hole VERDICT r4 item 5
+    names) needs exactly this."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    num = jnp.minimum(ax, az)
+    den = jnp.maximum(ax, az)
+    t = num / jnp.maximum(den, 1e-30)
+    t2 = t * t
+    p = jnp.float32(_ATAN_CO[-1])
+    for c in _ATAN_CO[-2::-1]:
+        p = p * t2 + jnp.float32(c)
+    p = p * t
+    p = jnp.where(az > ax, jnp.float32(0.5 * np.pi) - p, p)
+    p = jnp.where(x < 0.0, jnp.float32(np.pi) - p, p)
+    return jnp.where(z < 0.0, -p, p)
+
+
+def vpu_asin(y):
+    """asin on [-1,1] through vpu_atan2 (same VPU-only op set)."""
+    return vpu_atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
 
 
 def pack_kernel_textures(scene: SceneData):
@@ -1206,23 +1396,16 @@ def pack_kernel_textures(scene: SceneData):
       r*65536 + g*256 + b (exact integers < 2^24), texels row-major,
       128 per table row.
 
-    Raises NotImplementedError outside the kernel envelope:
-    - a texture larger than KTEX_MAX per axis (fetch cost is a static
-      row loop — bounded by design; big atlases keep the jnp route);
-    - an image texture on a SPHERE material (equirect UV needs
-      atan2/asin, which Mosaic does not lower; quad/triangle UVs come
-      from carried planes)."""
+    Raises NotImplementedError outside the kernel envelope: a texture
+    larger than KTEX_MAX per axis (fetch cost is a static row loop —
+    bounded by design; big atlases keep the jnp route).  Textured
+    SPHERES run in-kernel since r5: the deferred equirect UV is
+    computed post-fold from the carried center via vpu_atan2/vpu_asin
+    (select+polynomial forms — Mosaic lowers no transcendentals)."""
     from parallelraytracing_tpu.ops.textures import TEX_IMAGE_BASE
     mat_tex = np.asarray(scene.mat_tex)
     atlas = np.asarray(scene.tex_atlas)
     size = np.asarray(scene.tex_size)
-    sph_mat = np.asarray(scene.sph_mat)
-    sv = np.asarray(scene.sph_valid)
-    if sv.any() and (mat_tex[sph_mat[sv]] >= TEX_IMAGE_BASE).any():
-        raise NotImplementedError(
-            "image textures on SPHERE materials are jnp-engine only "
-            "(equirect UV needs atan2/asin — not lowerable on the "
-            "Pallas VPU); quad/triangle image textures run in-kernel.")
     row_chunks = []
     tex_off = {}
     itex = []
@@ -1297,17 +1480,21 @@ def pack_lights_table(scene: SceneData) -> np.ndarray:
 
 
 def pack_instance_tables(inst_meshes, instances, ord_base: float,
-                         ordered: bool = False):
+                         ordered: bool = False, with_uv: bool = False):
     """Host tables for in-kernel TLAS/BLAS instancing.
 
     inst_meshes: unique Mesh objects; instances: (mesh_index, material_id,
     4x4 world transform) records (Scene.instances); ord_base: first free
     global ordinal (tie-break ids beyond every flat primitive).
 
-    Returns (itri (25, Nt), iacc (8, Mb), ibox (6, Ni), inst (24, Ni)):
+    Returns (itri (25 or 31, Nt), iacc (8, Mb), ibox (6, Ni),
+    inst (24, Ni)):
     - itri: LOCAL-space triangle geometry concatenated across unique
       meshes, Morton-sorted in TRI_CLUSTER runs per mesh
       [ng(3) p0ng e1(3) e2(3) e2xp0(3) p0xe1(3) n0(3) n1(3) n2(3)];
+      with_uv appends rows 25-30 [u0 v0 u1 v1 u2 v2] (mesh texcoords,
+      zeros when absent) — the in-kernel image-texture path on
+      INSTANCED materials (r5; was a jnp-only refusal);
     - iacc: per-mesh cluster-BVHs over the local triangles, concatenated
       with GLOBAL child/range indices; the threaded escape-link layout
       by default (miss -1 exits back to the TLAS), or the
@@ -1345,9 +1532,18 @@ def pack_instance_tables(inst_meshes, instances, ord_base: float,
         e2xp0 = np.cross(e2, v0)
         p0xe1 = np.cross(v0, e1)
         nt = len(v0)
-        tab = np.concatenate([
-            ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
-            n0.T, n1.T, n2.T], axis=0).astype(np.float32)
+        rows = [ng.T, p0ng[None], e1.T, e2.T, e2xp0.T, p0xe1.T,
+                n0.T, n1.T, n2.T]
+        if with_uv:
+            tc = getattr(mesh, "texcoords", None)
+            idx_ = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
+            if tc is not None and len(tc):
+                tc = np.asarray(tc, np.float64)
+                uvs = [tc[idx_[:, k]][order] for k in range(3)]
+            else:
+                uvs = [np.zeros((nt, 2))] * 3
+            rows += [u.T for u in uvs]
+        tab = np.concatenate(rows, axis=0).astype(np.float32)
         cl = _cluster_bounds(mn, mx, TRI_CLUSTER)
         if ordered:
             # explicit-pointer layout: child columns shift by node_off,
@@ -1466,7 +1662,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       tri_hot_get=None, tri_hot_n: int = 0,
                       checker: tuple = (),
                       tri_stream: int = 0, tri_stream_refs=None,
-                      tri_hbm_ref=None,
+                      tri_hbm_ref=None, tri_pack: int = 1,
                       itex: tuple = (), itex_ref=None):
     # Partial SMEM hot prefix (plan_table's large case) requires the
     # hot/cold split: the SMEM body reads ONLY hot lanes through it.
@@ -2011,34 +2207,46 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 scr_ref, sem_ref, st_ref = tri_stream_refs
                 from jax.experimental.pallas import tpu as _pltpu
                 shift = int(math.ceil(math.log2(tri_stream + 1)))
-                block = tri_stream + STREAM_NODE_ROWS
+                tri_rows = tri_stream // tri_pack
+                block = tri_rows + STREAM_NODE_ROWS
+                stride = LANES // tri_pack
+                shift_p = tri_pack.bit_length() - 1  # pack is 1/2/4
 
-                def sget_at(base):
+                def sget_packed(base, slot):
+                    """Reader for triangle SLOT `slot` of a packed row:
+                    row j of the resident block, attrs at the slot's
+                    STATIC lane offset (no dynamic lane indexing)."""
+                    off = slot * stride
+
                     def get(j):
-                        row = scr_ref[base + j]
-                        return lambda k: row[k]
+                        r = base + j
+                        return lambda k: scr_ref[r, off + k]
                     return get
 
                 def chunk_walk(base, c):
                     """Threaded walk of a resident block's mini-tree
-                    (node rows at [base+tri_stream, ...), triangle rows
-                    at [base, ...); same preorder/escape encoding as
-                    the SMEM trees, lo*64+span leaf encs)."""
-                    tb = make_tri_body(sget_at(base))
-                    node0 = base + jnp.int32(tri_stream)
+                    (node rows at [base+tri_rows, ...), packed triangle
+                    rows at [base, ...); same preorder/escape encoding
+                    as the SMEM trees, lo*64+span SLOT-range leaf
+                    encs — group-aligned so each tested row folds its
+                    tri_pack slots at static offsets)."""
+                    tbs = [make_tri_body(sget_packed(base, p))
+                           for p in range(tri_pack)]
+                    node0 = base + jnp.int32(tri_rows)
 
                     def wcond(s):
                         return s[0] >= 0
 
                     def wbody(s):
                         nd, c = s
-                        row = scr_ref[node0 + nd]
-                        miss = row[6].astype(jnp.int32)
-                        enc = row[7].astype(jnp.int32)
+                        r = node0 + nd
+                        miss = scr_ref[r, 6].astype(jnp.int32)
+                        enc = scr_ref[r, 7].astype(jnp.int32)
                         is_leaf = enc >= 0
                         hit = slab_any_hit.vals(
-                            row[0], row[1], row[2], row[3], row[4],
-                            row[5], c[0])
+                            scr_ref[r, 0], scr_ref[r, 1], scr_ref[r, 2],
+                            scr_ref[r, 3], scr_ref[r, 4], scr_ref[r, 5],
+                            c[0])
                         if stats_ref is not None:
                             stats_ref[0] = stats_ref[0] + 1
                             e = (hit & is_leaf).astype(jnp.int32)
@@ -2046,9 +2254,15 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                             stats_ref[2] = stats_ref[2] + e * (enc & 63)
 
                         def do_leaf(c):
-                            lo = enc >> 6
-                            return jax.lax.fori_loop(
-                                lo, lo + (enc & 63), tb, c)
+                            row_lo = (enc >> 6) >> shift_p
+                            groups = (enc & 63) >> shift_p
+
+                            def grp(gi, c):
+                                for tb in tbs:
+                                    c = tb(row_lo + gi, c)
+                                return c
+
+                            return jax.lax.fori_loop(0, groups, grp, c)
 
                         c = jax.lax.cond(hit & is_leaf, do_leaf,
                                          lambda c: c, c)
@@ -2231,8 +2445,17 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                             # base + local-table index (both exact in f32)
                             ordv = ord_base + j.astype(jnp.float32)
                             flags = fr + 4.0 * mat[0]
+                            uv = None
+                            if need_uv:
+                                # barycentric texcoord blend (itri rows
+                                # 25-30, pack_instance_tables with_uv)
+                                u0, v0_ = nc(9), nc(10)
+                                u1, v1_ = nc(11), nc(12)
+                                u2, v2_ = nc(13), nc(14)
+                                uv = (b0 * u0 + b1 * u1 + b2_ * u2,
+                                      b0 * v0_ + b1 * v1_ + b2_ * v2_)
                             return fold(carry, t, ok, flags, wnx, wny, wnz,
-                                        mat, ordv)
+                                        mat, ordv, uv)
 
                         if iacc_ref.shape[0] == 10:
                             # near-first needs LOCAL-space direction votes
@@ -2299,6 +2522,19 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
             m_id = carry[10]
             u_c = carry[11]
             v_c = carry[12]
+            if n_sph > 0:
+                # Deferred sphere equirect UV (intersect.py:316-321
+                # semantics), reconstructed post-fold from the carried
+                # center exactly like the normal: outward = p - c
+                # (IGNORING the front flag — inside hits keep the
+                # outward map, matching the jnp engines).  atan2/asin
+                # via the VPU polynomial forms.
+                s_u = 0.5 + vpu_atan2(nrz, nrx) \
+                    * jnp.float32(1.0 / (2.0 * np.pi))
+                s_v = 0.5 - vpu_asin(jnp.clip(nry * n_ilen, -1.0, 1.0)) \
+                    * jnp.float32(1.0 / np.pi)
+                u_c = jnp.where(is_sph_k, s_u, u_c)
+                v_c = jnp.where(is_sph_k, s_v, v_c)
             u_w = u_c - jnp.floor(u_c)
             v_w = v_c - jnp.floor(v_c)
             for (cm, toff, th, tw) in itex:
@@ -2672,7 +2908,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        tri_split=False, itri_split=False,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
                        tri_part=False, checker: tuple = (),
-                       depth_out=False, tri_stream=0, itex: tuple = ()):
+                       depth_out=False, tri_stream=0, tri_pack=1,
+                       itex: tuple = ()):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -2748,7 +2985,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 tree_starts=starts, tri_hot_get=tri_hot_get,
                 tri_hot_n=tri_hot_n, checker=checker,
                 tri_stream=tri_stream, tri_stream_refs=tri_stream_refs,
-                tri_hbm_ref=tri_ref, itex=itex, itex_ref=itex_ref)
+                tri_hbm_ref=tri_ref, tri_pack=tri_pack, itex=itex,
+                itex_ref=itex_ref)
 
         step = mk_step((0, 0, 0))
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
@@ -2862,7 +3100,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
                      "tail_roots", "tail_depth", "checker", "depth_out",
-                     "tri_stream", "itex"))
+                     "tri_stream", "tri_pack", "itex"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -2878,7 +3116,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  tri_hot=None, checker: tuple = (),
                  depth_out: bool = False, tri_stream: int = 0,
-                 itex: tuple = (), itex_tab=None,
+                 tri_pack: int = 1, itex: tuple = (), itex_tab=None,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -2916,7 +3154,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tail_roots, tail_depth,
                                 tri_part=tri_hot is not None,
                                 checker=checker, depth_out=depth_out,
-                                tri_stream=tri_stream, itex=itex)
+                                tri_stream=tri_stream, tri_pack=tri_pack,
+                                itex=itex)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -2969,8 +3208,12 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         # two block slots (residency cache + DMA double-buffer), one
         # DMA semaphore (<=1 copy in flight by construction), and the
         # 5-scalar stream state
-        scratch.append(pltpu.VMEM(
-            (2 * (tri_stream + STREAM_NODE_ROWS), LANES), jnp.float32))
+        # SMEM scratch: block reads are SCALAR loads overlapped on the
+        # scalar core (the dense path's economics) instead of VMEM lane
+        # extracts on the VPU — the measured stream-path read cost
+        scratch.append(pltpu.SMEM(
+            (2 * (tri_stream // tri_pack + STREAM_NODE_ROWS), LANES),
+            jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SMEM((5,), jnp.int32))
     out = pl.pallas_call(
@@ -3008,7 +3251,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          vmem_kinds=(False, False, False),
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                          tri_split=False, itri_split=False,
-                         checker: tuple = (), tri_stream=0,
+                         checker: tuple = (), tri_stream=0, tri_pack=1,
                          itex: tuple = ()):
     import jax.experimental.pallas as pl
 
@@ -3075,7 +3318,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             stack_ref, None, tri_cold_get, itri_cold_get,
             checker=checker, tri_stream=tri_stream,
             tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref,
-            itex=itex, itex_ref=itex_ref)
+            tri_pack=tri_pack, itex=itex, itex_ref=itex_ref)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
@@ -3113,7 +3356,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    vmem_kinds: Tuple[bool, bool, bool] = (False, False, False),
                    nee: bool = False, inst=None, itri_vmem: bool = False,
                    tri_cold=None, itri_cold=None, checker: tuple = (),
-                   tri_stream: int = 0, itex: tuple = (), itex_tab=None):
+                   tri_stream: int = 0, tri_pack: int = 1,
+                   itex: tuple = (), itex_tab=None):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -3153,7 +3397,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   tri_cold is not None,
                                   itri_cold is not None,
                                   checker=checker, tri_stream=tri_stream,
-                                  itex=itex)
+                                  tri_pack=tri_pack, itex=itex)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -3184,8 +3428,12 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
             inst_specs.append(vmem_full)
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
     if tri_stream:
-        scratch.append(pltpu.VMEM(
-            (2 * (tri_stream + STREAM_NODE_ROWS), LANES), jnp.float32))
+        # SMEM scratch: block reads are SCALAR loads overlapped on the
+        # scalar core (the dense path's economics) instead of VMEM lane
+        # extracts on the VPU — the measured stream-path read cost
+        scratch.append(pltpu.SMEM(
+            (2 * (tri_stream // tri_pack + STREAM_NODE_ROWS), LANES),
+            jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SMEM((5,), jnp.int32))
     out = pl.pallas_call(
