@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from parallelraytracing_tpu.config import RenderConfig
 from parallelraytracing_tpu.engines.base import Renderer, register_engine
 from parallelraytracing_tpu.engines.fused import morton_pixel_perm
+from parallelraytracing_tpu.ops import pallas_trace as _pt
 from parallelraytracing_tpu.ops.pallas_trace import LANES, pallas_segment
 from parallelraytracing_tpu.ops.rays import frame_stream_seeds
 
@@ -168,7 +169,8 @@ def _segmented_body(tables, o, d, pix, loc, count, seed, rows: int,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
             t.vmem_kinds, t.nee, t.inst, t.itri_vmem, t.tri_cold,
             t.itri_cold, checker=t.checker, tri_stream=t.tri_stream,
-            tri_pack=t.tri_pack, itex=t.itex, itex_tab=t.itex_tab)
+            tri_pack=t.tri_pack, itex=t.itex, itex_tab=t.itex_tab,
+            frustum0=(s == 0 and bool(_pt.FRUSTUM0)))
         state = list(state)
         alive_p = alive
 

@@ -1079,6 +1079,11 @@ def _assemble_stream_blocks(tri: np.ndarray, perm: np.ndarray,
 # a walk over a 3-node tree.
 TREE_THRESHOLD = int(_os.environ.get("PRT_TREE_THRESHOLD", "4"))
 
+#: Bounce-0 frustum pretest (VERDICT r4 item 2a): scalar interval
+#: certain-miss gate ahead of each vector slab test on the coherent
+#: camera bundle; identical traversal results (conservative gate).
+FRUSTUM0 = int(_os.environ.get("PRT_FRUSTUM0", "1"))
+
 #: NEE shadow rays as an ANY-HIT walk (VERDICT r4 item 2b): seed the
 #: shadow fold with the light's own hit so any occluder resolves the
 #: lane immediately and beyond-light nodes are culled; bit-identical
@@ -1663,7 +1668,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       checker: tuple = (),
                       tri_stream: int = 0, tri_stream_refs=None,
                       tri_hbm_ref=None, tri_pack: int = 1,
-                      itex: tuple = (), itex_ref=None):
+                      itex: tuple = (), itex_ref=None,
+                      frustum0: bool = False):
     # Partial SMEM hot prefix (plan_table's large case) requires the
     # hot/cold split: the SMEM body reads ONLY hot lanes through it.
     assert tri_hot_get is None or tri_cold_get is not None
@@ -1704,7 +1710,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
         # planes).
         emit_w = jnp.where(alive > 1.5, 0.0, 1.0) if nee else 1.0
 
-        def closest_hit(ox, oy, oz, dx, dy, dz, active_b, shadow=None):
+        def closest_hit(ox, oy, oz, dx, dy, dz, active_b, shadow=None,
+                        frustum=False):
             """Full closest-hit fold of one ray set against the scene
             (camera/bounce rays AND shadow rays share this).
 
@@ -1843,6 +1850,60 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 return slab
 
             slab_any_hit = make_slab(ox, oy, oz, inv_dx, inv_dy, inv_dz)
+
+            if frustum:
+                # ---- bounce-0 frustum pretest (VERDICT r4 item 2a):
+                # camera rays per Morton tile form a tight bundle; the
+                # per-tile interval hull of (origin, 1/direction) gives
+                # a SCALAR certain-miss test per node (~30 scalar ops on
+                # the scalar core) that gates the (rows,128) vector slab
+                # test behind a branch.  Conservative: a pass proves
+                # nothing (vector test still runs), a fail proves ALL
+                # lanes miss — identical traversal results.  Only
+                # bounce 0 is coherent enough to pay; later bounces'
+                # hulls are wide and the gate never fires.
+                def hull(v):
+                    m = jnp.where(active_b, v, jnp.inf)
+                    lo = jnp.min(m)
+                    m = jnp.where(active_b, v, -jnp.inf)
+                    return lo, jnp.max(m)
+
+                o_b = tuple(hull(v) for v in (ox, oy, oz))
+                i_b = tuple(hull(v) for v in (inv_dx, inv_dy, inv_dz))
+                inner = slab_any_hit
+
+                def _int_test(ref, col):
+                    a = jnp.float32(-3e38)
+                    b = jnp.float32(3e38)
+                    for k in range(3):
+                        b0 = ref[k, col]
+                        b1 = ref[3 + k, col]
+                        (ol, oh), (il, ih) = o_b[k], i_b[k]
+                        p = []
+                        for bb in (b0, b1):
+                            for e in (bb - ol, bb - oh):
+                                p.append(e * il)
+                                p.append(e * ih)
+                        lo = jnp.minimum(
+                            jnp.minimum(jnp.minimum(p[0], p[1]),
+                                        jnp.minimum(p[2], p[3])),
+                            jnp.minimum(jnp.minimum(p[4], p[5]),
+                                        jnp.minimum(p[6], p[7])))
+                        hi = jnp.maximum(
+                            jnp.maximum(jnp.maximum(p[0], p[1]),
+                                        jnp.maximum(p[2], p[3])),
+                            jnp.maximum(jnp.maximum(p[4], p[5]),
+                                        jnp.maximum(p[6], p[7])))
+                        a = jnp.maximum(a, lo)
+                        b = jnp.minimum(b, hi)
+                    return jnp.maximum(a, jnp.float32(t_min)) <= b
+
+                def slab_any_hit(ref, col, best_t):
+                    return jax.lax.cond(
+                        _int_test(ref, col),
+                        lambda: inner(ref, col, best_t),
+                        lambda: jnp.bool_(False))
+                slab_any_hit.vals = inner.vals
 
             if ordered_any:
                 # Majority direction sign per axis for THIS ray set (one
@@ -2474,7 +2535,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
 
             return carry
 
-        carry = closest_hit(ox, oy, oz, dx, dy, dz, alive_b)
+        carry = closest_hit(ox, oy, oz, dx, dy, dz, alive_b,
+                            frustum=frustum0)
 
         (best_t, gx, gy, gz, flags,
          m_c0, m_c1, m_c2, m_extra, _) = carry[:10]
@@ -2973,7 +3035,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
             inst_refs = None
         shape = (sub, LANES)
 
-        def mk_step(starts):
+        def mk_step(starts, frustum0=False):
             return _make_bounce_step(
                 shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 make_reader(sph_ref, vmem_kinds[0]),
@@ -2986,9 +3048,13 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 tri_hot_n=tri_hot_n, checker=checker,
                 tri_stream=tri_stream, tri_stream_refs=tri_stream_refs,
                 tri_hbm_ref=tri_ref, tri_pack=tri_pack, itex=itex,
-                itex_ref=itex_ref)
+                itex_ref=itex_ref, frustum0=frustum0)
 
         step = mk_step((0, 0, 0))
+        # bounce-0 specialization (frustum pretest): identical results,
+        # scalar certain-miss gate on the coherent camera bundle
+        step0 = mk_step((0, 0, 0), frustum0=FRUSTUM0) if FRUSTUM0 \
+            else step
         # Straggler-tail phase: bounces >= tail_depth walk the FINE view
         # of the shared SAH tree (roots from _sah_threaded_tree) — when a
         # tile is held alive by a few straggler lanes, thin leaves test
@@ -3050,24 +3116,27 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 # Mosaic rejects the replicated->concrete relayout a
                 # plain zeros init needs in the loop carry on TPU.
                 carry = (state, state[0] * 0.0)
+                carry = with_depth(make_bounce(step0))(0, carry)
                 if tail:
                     carry = jax.lax.fori_loop(
-                        0, tail_depth, with_depth(make_bounce(step)), carry)
+                        1, tail_depth, with_depth(make_bounce(step)), carry)
                     carry = jax.lax.fori_loop(
                         tail_depth, max_depth,
                         with_depth(make_bounce(step_tail)), carry)
                 else:
                     carry = jax.lax.fori_loop(
-                        0, max_depth, with_depth(make_bounce(step)), carry)
+                        1, max_depth, with_depth(make_bounce(step)), carry)
                 state, ddv = carry
                 dd_ref[sl, :] = ddv
             elif tail:
-                state = jax.lax.fori_loop(0, tail_depth,
+                state = make_bounce(step0)(0, state)
+                state = jax.lax.fori_loop(1, tail_depth,
                                           make_bounce(step), state)
                 state = jax.lax.fori_loop(tail_depth, max_depth,
                                           make_bounce(step_tail), state)
             else:
-                state = jax.lax.fori_loop(0, max_depth, make_bounce(step),
+                state = make_bounce(step0)(0, state)
+                state = jax.lax.fori_loop(1, max_depth, make_bounce(step),
                                           state)
             rr_ref[sl, :] = state[9]
             rg_ref[sl, :] = state[10]
@@ -3252,7 +3321,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                          tri_split=False, itri_split=False,
                          checker: tuple = (), tri_stream=0, tri_pack=1,
-                         itex: tuple = ()):
+                         itex: tuple = (), frustum0=False):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -3308,35 +3377,48 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
             pix_ref[:].astype(jnp.int32).astype(jnp.uint32)  # f32 pix ids
             ^ seed.astype(jnp.uint32))
 
-        step = _make_bounce_step(
-            shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
-            make_reader(sph_ref, vmem_kinds[0]),
-            make_reader(quad_ref, vmem_kinds[1]),
-            make_reader(tri_ref, vmem_kinds[2]),
-            rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
-            lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
-            stack_ref, None, tri_cold_get, itri_cold_get,
-            checker=checker, tri_stream=tri_stream,
-            tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref,
-            tri_pack=tri_pack, itex=itex, itex_ref=itex_ref)
+        def mk_step(f0_):
+            return _make_bounce_step(
+                shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
+                make_reader(sph_ref, vmem_kinds[0]),
+                make_reader(quad_ref, vmem_kinds[1]),
+                make_reader(tri_ref, vmem_kinds[2]),
+                rr_depth, (sph_cl, quad_cl, tri_cl), mats_ref,
+                lights_ref, nee, n_lights, inst_refs, n_inst, itri_vmem,
+                stack_ref, None, tri_cold_get, itri_cold_get,
+                checker=checker, tri_stream=tri_stream,
+                tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref,
+                tri_pack=tri_pack, itex=itex, itex_ref=itex_ref,
+                frustum0=f0_)
+
+        step = mk_step(False)
 
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:],
                  tr_ref[:], tg_ref[:], tb_ref[:],
                  rr_ref[:], rg_ref[:], rb_ref[:], in_q)
 
-        def bounce(i, st):
+        def bounce(i, st, stp=None):
             any_alive = jnp.sum(st[12]) > 0.0
+            stp = stp or step
 
             def live(st):
                 depth = depth0 + i
                 rng_d = rng_base \
                     + depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
-                return step(rng_d, st, depth)
+                return stp(rng_d, st, depth)
 
             return jax.lax.cond(any_alive, live, lambda st: st, st)
 
-        state = jax.lax.fori_loop(0, n_bounces, bounce, state)
+        if frustum0:
+            # this segment starts at absolute depth 0: its first bounce
+            # traces the coherent camera bundle — frustum-gated step
+            state = bounce(0, state, mk_step(True))
+            state = jax.lax.fori_loop(
+                1, n_bounces, lambda i, st: bounce(i, st), state)
+        else:
+            state = jax.lax.fori_loop(
+                0, n_bounces, lambda i, st: bounce(i, st), state)
 
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = state
         oxo[:] = ox; oyo[:] = oy; ozo[:] = oz
@@ -3357,7 +3439,7 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    nee: bool = False, inst=None, itri_vmem: bool = False,
                    tri_cold=None, itri_cold=None, checker: tuple = (),
                    tri_stream: int = 0, tri_pack: int = 1,
-                   itex: tuple = (), itex_tab=None):
+                   itex: tuple = (), itex_tab=None, frustum0: bool = False):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -3397,7 +3479,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   tri_cold is not None,
                                   itri_cold is not None,
                                   checker=checker, tri_stream=tri_stream,
-                                  tri_pack=tri_pack, itex=itex)
+                                  tri_pack=tri_pack, itex=itex,
+                                  frustum0=frustum0)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
