@@ -13,10 +13,13 @@ Load-bearing properties:
 """
 
 import numpy as np
+import pytest
 
 from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
+
+pytestmark = pytest.mark.slow  # fused-engine interpret renders
 
 CFG = RenderConfig(width=64, height=32, max_depth=5, seed=3,
                    intersect_chunk=32, ray_tile=1 << 16)

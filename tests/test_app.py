@@ -7,6 +7,8 @@ import pytest
 
 from parallelraytracing_tpu.cli import build_argparser
 
+pytestmark = pytest.mark.slow  # viewer loop renders (minutes-scale on one core)
+
 
 def test_cli_defaults_match_reference_workload():
     args = build_argparser().parse_args([])

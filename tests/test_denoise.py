@@ -17,6 +17,10 @@ from parallelraytracing_tpu.core.camera import Camera, default_camera
 from parallelraytracing_tpu.postfx import (atrous_denoise, aux_buffers,
                                            denoise_film)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 192-frame jnp truth renders
+
 CFG = RenderConfig(width=64, height=64, max_depth=5, seed=7,
                    intersect_chunk=32, ray_tile=1 << 16)
 

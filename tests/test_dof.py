@@ -17,11 +17,14 @@ Load-bearing properties:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
 from parallelraytracing_tpu.ops.rays import generate_camera_rays_ids
+
+pytestmark = pytest.mark.slow  # Pallas interpret renders
 
 CFG = RenderConfig(width=64, height=32, max_depth=6, seed=3,
                    intersect_chunk=32, ray_tile=1 << 16)

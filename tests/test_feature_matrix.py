@@ -22,10 +22,13 @@ Contracts exercised jointly (each is promised individually elsewhere):
 """
 
 import numpy as np
+import pytest
 
 from parallelraytracing_tpu import (Film, RenderConfig, Scene,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
+
+pytestmark = pytest.mark.slow  # engine-matrix interpret renders
 
 CFG = RenderConfig(width=64, height=32, max_depth=6, seed=5,
                    intersect_chunk=32, ray_tile=1 << 16,

@@ -5,6 +5,8 @@ from parallelraytracing_tpu import Film, RenderConfig, Scene, ScenePreset, creat
 from parallelraytracing_tpu.core.camera import default_camera
 from parallelraytracing_tpu.core.light import add_quad_light, add_sphere_light
 
+pytestmark = pytest.mark.slow  # CLI/e2e renders
+
 
 def test_light_helpers_and_nee_enumeration():
     from parallelraytracing_tpu.ops.nee import extract_lights

@@ -8,6 +8,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
 
+pytestmark = pytest.mark.slow  # converged jnp + Pallas interpret NEE renders
+
 
 def render(preset, nee: bool, frames: int, seed=0, engine="megakernel"):
     cfg = RenderConfig(width=48, height=32, max_depth=6, seed=seed,

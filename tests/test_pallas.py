@@ -15,6 +15,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
 from parallelraytracing_tpu.core.camera import default_camera
 from parallelraytracing_tpu.ops.pallas_trace import pack_scene_tables
 
+pytestmark = pytest.mark.slow  # Pallas interpret kernels
+
 
 def render(engine, preset, cfg, frames):
     scene = Scene(preset)

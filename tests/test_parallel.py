@@ -12,6 +12,8 @@ from parallelraytracing_tpu.engines.megakernel import raygen, trace
 from parallelraytracing_tpu.parallel.sharding import (
     make_render_mesh, render_frame_sharded_jit, shard_block_size)
 
+pytestmark = pytest.mark.slow  # 8-virtual-device shard_map renders
+
 
 def small_cfg(**kw):
     base = dict(width=32, height=16, max_depth=4, samples_per_frame=1,

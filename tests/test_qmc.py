@@ -19,6 +19,9 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
 from parallelraytracing_tpu.core.camera import default_camera
 from parallelraytracing_tpu.ops.rays import (halton_qpt, qmc_rotation_seed,
                                              radical_inverse)
+import pytest
+
+pytestmark = pytest.mark.slow  # equal-budget render comparisons
 
 CFG = RenderConfig(width=64, height=32, max_depth=6, seed=3,
                    intersect_chunk=32, ray_tile=1 << 16, qmc=True)

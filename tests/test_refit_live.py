@@ -9,9 +9,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parallelraytracing_tpu import Film, RenderConfig, Scene, create_renderer
 from parallelraytracing_tpu.core.camera import Camera
+
+pytestmark = pytest.mark.slow  # animated refit renders
 
 CFG = RenderConfig(width=64, height=48, max_depth=4, seed=2,
                    intersect_chunk=32, ray_tile=1 << 16)

@@ -12,6 +12,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
 from parallelraytracing_tpu.core.camera import Camera, default_camera
 from parallelraytracing_tpu.engines.megakernel import render_frame
 
+pytestmark = pytest.mark.slow  # multi-engine e2e renders
+
 
 def small_cfg(**kw):
     base = dict(width=48, height=32, max_depth=6, samples_per_frame=1,

@@ -18,6 +18,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
 
+pytestmark = pytest.mark.slow  # Pallas interpret sky renders
+
 CFG = RenderConfig(width=64, height=48, max_depth=3, seed=0, jitter=False,
                    intersect_chunk=32, ray_tile=1 << 16)
 

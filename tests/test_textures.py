@@ -26,6 +26,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
 from parallelraytracing_tpu.core.camera import Camera
 from parallelraytracing_tpu.ops.textures import checker_weight, sample_atlas
 
+pytestmark = pytest.mark.slow  # Pallas interpret texture renders
+
 CFG = RenderConfig(width=64, height=32, max_depth=4, seed=1,
                    intersect_chunk=32, ray_tile=1 << 16)
 

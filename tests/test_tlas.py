@@ -10,6 +10,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
 from parallelraytracing_tpu.core.camera import Camera, default_camera
 from parallelraytracing_tpu.core.mesh import load_ply
 
+pytestmark = pytest.mark.slow  # TLAS interpret renders
+
 ICO = "/root/reference/assets/models/icosahedron.ply"
 
 

@@ -13,6 +13,8 @@ from parallelraytracing_tpu.engines.megakernel import raygen
 from parallelraytracing_tpu.engines.tracer import trace_paths
 from parallelraytracing_tpu.engines.wavefront import wavefront_trace
 
+pytestmark = pytest.mark.slow  # wavefront compaction renders
+
 
 def small_cfg(**kw):
     base = dict(width=48, height=32, max_depth=6, samples_per_frame=1,

@@ -14,6 +14,8 @@ from parallelraytracing_tpu import (Film, RenderConfig, Scene, ScenePreset,
                                     create_renderer)
 from parallelraytracing_tpu.core.camera import default_camera
 
+pytestmark = pytest.mark.slow  # segment-kernel interpret renders
+
 
 def render(engine, preset, cfg, frames=8, **attrs):
     film = Film(cfg.width, cfg.height)
