@@ -47,7 +47,12 @@ def _select_slots(m1, m2, n, valid, budget: int):
     var = jnp.maximum(m2 / jnp.maximum(n, 1.0) - mean * mean, 0.0)
     rel = jnp.sqrt(var / jnp.maximum(n, 1.0)) / (jnp.abs(mean) + 0.05)
     rel = jnp.where(valid, rel, -1.0)  # pad slots never selected
-    _, idx = jax.lax.top_k(rel, budget)
+    # argsort-based top-k: lax.top_k at k ~ half the frame lowers to a
+    # pathological O(n*k)-ish program on TPU (measured 1.2 s/frame at
+    # 512x384 — 16x the fused render it wraps); one descending argsort
+    # is the same machinery the wavefront compaction already pays at
+    # larger sizes for milliseconds (r5 fix)
+    idx = jnp.argsort(-rel)[:budget]
     return jnp.sort(idx)
 
 
