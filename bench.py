@@ -92,7 +92,10 @@ def main() -> None:
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "3000")))
+    # 4200 s: the full row set (incl. the 1.28M-triangle stream row's
+    # ~150 s host pack) measured ~2800 s cold on this rig; the
+    # persistent compile cache cuts repeat runs well under that.
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "4200")))
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_compilation"))
