@@ -149,9 +149,19 @@ def main():
     sph_fps, _, _ = run_session("texdemo720", Scene(ScenePreset.TEXTURE_DEMO),
                                 cam, cfg, "adaptive", 3, outdir)
 
+    # session 3: 1080p orbit (BASELINE milestone 5's resolution; the
+    # preview twin carries motion, adaptive+denoise carry the refine)
+    w, h = 1920, 1080
+    cfg = RenderConfig(width=w, height=h, max_depth=8, seed=0,
+                       russian_roulette_depth=2)
+    cam = Camera(np.array([0.0, 5.0, 14.0]),
+                 np.array([0.0, -4.0, -14.0]), float(w), float(h), 100.0)
+    hd_fps, _, _ = run_session("texdemo1080", Scene(ScenePreset.TEXTURE_DEMO),
+                               cam, cfg, "adaptive", 4, outdir)
+
     ok = mesh_fps >= 15.0 and sph_fps >= 10.0
     print(f"BARS: mesh {mesh_fps:.1f}/15 fps, sphere {sph_fps:.1f}/10 fps "
-          f"-> {'PASS' if ok else 'MISS'}")
+          f"-> {'PASS' if ok else 'MISS'}; 1080p orbit {hd_fps:.1f} fps")
 
 
 if __name__ == "__main__":
