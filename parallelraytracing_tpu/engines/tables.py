@@ -77,6 +77,9 @@ class PallasSceneTables:
     #: triangles per 128-lane scratch row in the streamed layout (attrs
     #: at static lane offsets k*(128/pack)); 1 on dense tables
     tri_pack: int = 1
+    #: mini-tree node rows per streamed chunk block (auto-picked with
+    #: the chunk size against the SMEM budget); 0 on dense tables
+    tri_snode: int = 0
     #: static in-kernel image-texture spec ((mat id, row off, th, tw),
     #: ...) — empty on non-image scenes (texture path compiled away)
     itex: Tuple = ()
@@ -89,7 +92,7 @@ jax.tree_util.register_dataclass(
                  "inst", "itri_cold"],
     meta_fields=["vmem_kinds", "itri_vmem", "nee", "sky", "bb",
                  "tail_roots", "eye_dependent", "checker", "tri_stream",
-                 "tri_pack", "itex"],
+                 "tri_pack", "tri_snode", "itex"],
 )
 
 
@@ -162,7 +165,8 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         itri = None
 
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats,
-     tail_roots, eye_used, tri_stream, tri_pack) = pack_scene_tables(
+     tail_roots, eye_used, tri_stream, tri_pack,
+     tri_snode) = pack_scene_tables(
          host_scene, accel=accel, eye=eye)
     nee = bool(config.nee and extract_lights(host_scene) is not None)
     lights = pack_lights_table(host_scene)
@@ -273,6 +277,7 @@ def build_scene_tables(scene, config: RenderConfig, accel: str = "auto",
         eye_dependent=bool(eye_used),
         tri_stream=int(tri_stream),
         tri_pack=int(tri_pack),
+        tri_snode=int(tri_snode),
         itex=tuple(itex),
         checker=tuple(
             (float(i), float(pr[0]), float(pr[1]), float(pr[2]),
@@ -301,5 +306,5 @@ def trace_tables(t: PallasSceneTables, o, d, pix, seed, rows: int,
         collect_stats=collect_stats, tri_cold=t.tri_cold,
         itri_cold=t.itri_cold, tail_roots=t.tail_roots,
         tri_hot=t.tri_hot, checker=t.checker, depth_out=depth_out,
-        tri_stream=t.tri_stream, tri_pack=t.tri_pack, itex=t.itex,
-        itex_tab=t.itex_tab)
+        tri_stream=t.tri_stream, tri_pack=t.tri_pack,
+        tri_snode=t.tri_snode, itex=t.itex, itex_tab=t.itex_tab)

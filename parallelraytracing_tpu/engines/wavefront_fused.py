@@ -169,7 +169,8 @@ def _segmented_body(tables, o, d, pix, loc, count, seed, rows: int,
             rows, n_bounces, t_min, t_max, sky, interpret, rr_depth,
             t.vmem_kinds, t.nee, t.inst, t.itri_vmem, t.tri_cold,
             t.itri_cold, checker=t.checker, tri_stream=t.tri_stream,
-            tri_pack=t.tri_pack, itex=t.itex, itex_tab=t.itex_tab,
+            tri_pack=t.tri_pack, tri_snode=t.tri_snode, itex=t.itex,
+            itex_tab=t.itex_tab,
             frustum0=(s == 0 and bool(_pt.FRUSTUM0)))
         state = list(state)
         alive_p = alive
@@ -244,7 +245,8 @@ def count_frame_rays(tables, o, d, pix0, seed, rows: int,
             t.vmem_kinds, t.nee, t.inst, t.itri_vmem,
             tri_cold=t.tri_cold, itri_cold=t.itri_cold,
             checker=t.checker, tri_stream=t.tri_stream,
-            tri_pack=t.tri_pack, itex=t.itex, itex_tab=t.itex_tab)
+            tri_pack=t.tri_pack, tri_snode=t.tri_snode,
+            itex=t.itex, itex_tab=t.itex_tab)
         state = list(state)
         alive_p = alive
         # Compact survivors to the front (in_q masks the first `count`

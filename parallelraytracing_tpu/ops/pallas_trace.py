@@ -855,7 +855,9 @@ STREAM_CHUNK = int(_os.environ.get("PRT_STREAM_CHUNK", "128"))
 #: chunk carries its own threaded sub-tree in its trailing rows, so the
 #: kernel tests ~STREAM_SUB triangles per entered sub-leaf instead of
 #: the whole 128-triangle chunk (the round-4 path's dominant cost).
-STREAM_NODE_ROWS = int(_os.environ.get("PRT_STREAM_NODE", "64"))
+#: 0 = auto (chunk // 4, the measured sweet spot: smaller DMA blocks
+#: win — 320k row 579 -> ~497 ms — bounded below by mini-tree fit)
+STREAM_NODE_ROWS = int(_os.environ.get("PRT_STREAM_NODE", "0"))
 #: mini-tree leaf size (triangles per in-chunk sub-leaf)
 STREAM_SUB = int(_os.environ.get("PRT_STREAM_SUB", "8"))
 
@@ -1313,19 +1315,55 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     t_mx2 = np.where(tvd[:, None], t_mx[t_ord], np.float64(-1.0))
     tri_stream = 0
     tri_pack = 1
+    tri_snode = 0
     if (len(tvd) > STREAM_THRESHOLD and accel in ("auto", "tree")):
         # Streamed big-mesh path (see _sah_threaded_tree align doc +
         # _assemble_stream_blocks): chunk-aligned SAH top leaves, each
         # chunk a self-describing HBM block (triangle rows + its own
         # mini-tree rows) the kernel DMAs on entry.  Pad entries inside
         # blocks are zero rows (ng = 0 fails div_ok: never hit).
-        tri_stream = STREAM_CHUNK
-        perm, tree = _sah_threaded_tree(
-            t_mn2, t_mx2, STREAM_CHUNK, align=STREAM_CHUNK,
-            collapse_tau=COLLAPSE_TAU, collapse_abs=COLLAPSE_ABS,
-            tile_k=TILE_SAH_K)
-        tri, tri_pack = _assemble_stream_blocks(tri, perm, tree,
-                                                t_mn2, t_mx2)
+        # Auto chunk/node selection (r5 sweep: smaller blocks are
+        # strictly faster — 64/16 = 497 ms vs 128/64 = 579 on the 320k
+        # row — but the SMEM top tree grows as 1/chunk, so pick the
+        # SMALLEST chunk whose tree + scratch fit the SMEM budget
+        # alongside the tables already built.  Env overrides pin both.
+        committed = sum(smem_padded_bytes(np.asarray(a).shape)
+                        for a in (sph, quad, sph_cl, quad_cl, mats))
+        committed += 16 * 1024  # lights/inst/loop-state reserve
+        n_attr_t = tri.shape[0]
+        pack_g = 4 if n_attr_t <= 32 else (2 if n_attr_t <= 64 else 1)
+        # env-set or monkeypatched (non-default) chunk sizes PIN the
+        # choice; the default activates smallest-that-fits auto mode
+        pinned = ("PRT_STREAM_CHUNK" in _os.environ
+                  or STREAM_CHUNK != 128)
+        chunks_try = [STREAM_CHUNK] if pinned else [64, 128, 256, 512]
+        # 40 KB headroom for the stream decision (measured: the 1.28M
+        # dragon's 848 KB tree + 96 KB scratch compiles with ~77 KB of
+        # real slack — the general 96 KB guard would push it to the
+        # slower 256-chunk config for nothing)
+        _stream_hr = 40 * 1024
+        for tri_stream in chunks_try:
+            # node rows: chunk//4 at small chunks (64/16 measured best
+            # on the 320k row), chunk//2 at >=128 (tight node budgets
+            # force fat sub-16 mini leaves at canonical scale — 128/32
+            # measured 888 vs 128/64's 847 ms on the 1.28M dragon)
+            node_rows = STREAM_NODE_ROWS or (
+                max(16, tri_stream // 4) if tri_stream <= 64
+                else tri_stream // 2)
+            perm, tree = _sah_threaded_tree(
+                t_mn2, t_mx2, tri_stream, align=tri_stream,
+                collapse_tau=COLLAPSE_TAU, collapse_abs=COLLAPSE_ABS,
+                tile_k=TILE_SAH_K)
+            block = tri_stream // pack_g + node_rows
+            scr_b = 2 * block * LANES * 4 + 64  # two slots + state
+            tree_b = smem_padded_bytes(tree.shape)
+            if (committed + tree_b + scr_b + _stream_hr <= SMEM_BYTES
+                    or tri_stream == chunks_try[-1]):
+                break
+        tri, tri_pack = _assemble_stream_blocks(
+            tri, perm, tree, t_mn2, t_mx2, chunk=tri_stream,
+            node_rows=node_rows)
+        tri_snode = node_rows
         tri_cl = tree
         tri_troot = -1
     else:
@@ -1338,7 +1376,7 @@ def pack_scene_tables(scene: SceneData, accel: str = "auto", eye=None,
     return (np.ascontiguousarray(sph), np.ascontiguousarray(quad),
             np.ascontiguousarray(tri), sph_cl, quad_cl, tri_cl,
             np.ascontiguousarray(mats), (sph_troot, quad_troot, tri_troot),
-            eye_used[0], tri_stream, tri_pack)
+            eye_used[0], tri_stream, tri_pack, tri_snode)
 
 
 #: largest per-axis image-texture size the Pallas kernels accept: the
@@ -1668,6 +1706,7 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                       checker: tuple = (),
                       tri_stream: int = 0, tri_stream_refs=None,
                       tri_hbm_ref=None, tri_pack: int = 1,
+                      tri_snode: int = 0,
                       itex: tuple = (), itex_ref=None,
                       frustum0: bool = False):
     # Partial SMEM hot prefix (plan_table's large case) requires the
@@ -2269,7 +2308,8 @@ def _make_bounce_step(shape, t_min, t_max, sky, n_sph, n_quad, n_tri,
                 from jax.experimental.pallas import tpu as _pltpu
                 shift = int(math.ceil(math.log2(tri_stream + 1)))
                 tri_rows = tri_stream // tri_pack
-                block = tri_rows + STREAM_NODE_ROWS
+                snode = tri_snode or STREAM_NODE_ROWS or tri_stream // 4
+                block = tri_rows + snode
                 stride = LANES // tri_pack
                 shift_p = tri_pack.bit_length() - 1  # pack is 1/2/4
 
@@ -2971,7 +3011,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                        tail_roots=None, tail_depth=TAIL_DEPTH,
                        tri_part=False, checker: tuple = (),
                        depth_out=False, tri_stream=0, tri_pack=1,
-                       itex: tuple = ()):
+                       tri_snode=0, itex: tuple = ()):
     import jax.experimental.pallas as pl
 
     # In-kernel sub-tiling: split each (rows, 128) tile into independent
@@ -3047,7 +3087,8 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                 tree_starts=starts, tri_hot_get=tri_hot_get,
                 tri_hot_n=tri_hot_n, checker=checker,
                 tri_stream=tri_stream, tri_stream_refs=tri_stream_refs,
-                tri_hbm_ref=tri_ref, tri_pack=tri_pack, itex=itex,
+                tri_hbm_ref=tri_ref, tri_pack=tri_pack,
+                tri_snode=tri_snode, itex=itex,
                 itex_ref=itex_ref, frustum0=frustum0)
 
         step = mk_step((0, 0, 0))
@@ -3169,7 +3210,7 @@ def _make_trace_kernel(rows, max_depth, t_min, t_max, n_sph, n_quad, n_tri,
                      "interpret", "rr_depth", "vmem_kinds", "nee",
                      "itri_vmem", "sub_rows", "collect_stats",
                      "tail_roots", "tail_depth", "checker", "depth_out",
-                     "tri_stream", "tri_pack", "itex"))
+                     "tri_stream", "tri_pack", "tri_snode", "itex"))
 def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  sph_tab: jax.Array,
                  quad_tab: jax.Array, tri_tab: jax.Array,
@@ -3185,7 +3226,8 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                  tail_roots=None, tail_depth: int = TAIL_DEPTH,
                  tri_hot=None, checker: tuple = (),
                  depth_out: bool = False, tri_stream: int = 0,
-                 tri_pack: int = 1, itex: tuple = (), itex_tab=None,
+                 tri_pack: int = 1, tri_snode: int = 0,
+                 itex: tuple = (), itex_tab=None,
                  ) -> jax.Array:
     """Trace R rays (R divisible by rows*128). pix: (R,) f32 pixel ids
     keying the per-ray RNG stream. Returns (R,3) radiance; with
@@ -3224,7 +3266,7 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
                                 tri_part=tri_hot is not None,
                                 checker=checker, depth_out=depth_out,
                                 tri_stream=tri_stream, tri_pack=tri_pack,
-                                itex=itex)
+                                tri_snode=tri_snode, itex=itex)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -3280,8 +3322,9 @@ def pallas_trace(o: jax.Array, d: jax.Array, pix: jax.Array,
         # SMEM scratch: block reads are SCALAR loads overlapped on the
         # scalar core (the dense path's economics) instead of VMEM lane
         # extracts on the VPU — the measured stream-path read cost
+        _snode = tri_snode or STREAM_NODE_ROWS or tri_stream // 4
         scratch.append(pltpu.SMEM(
-            (2 * (tri_stream // tri_pack + STREAM_NODE_ROWS), LANES),
+            (2 * (tri_stream // tri_pack + _snode), LANES),
             jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SMEM((5,), jnp.int32))
@@ -3321,7 +3364,7 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                          nee=False, n_lights=0, n_inst=0, itri_vmem=False,
                          tri_split=False, itri_split=False,
                          checker: tuple = (), tri_stream=0, tri_pack=1,
-                         itex: tuple = (), frustum0=False):
+                         tri_snode=0, itex: tuple = (), frustum0=False):
     import jax.experimental.pallas as pl
 
     def kernel(scalar_ref,  # SMEM (3,): [seed, depth0, count]
@@ -3388,8 +3431,8 @@ def _make_segment_kernel(rows, n_bounces, t_min, t_max, n_sph, n_quad,
                 stack_ref, None, tri_cold_get, itri_cold_get,
                 checker=checker, tri_stream=tri_stream,
                 tri_stream_refs=tri_stream_refs, tri_hbm_ref=tri_ref,
-                tri_pack=tri_pack, itex=itex, itex_ref=itex_ref,
-                frustum0=f0_)
+                tri_pack=tri_pack, tri_snode=tri_snode, itex=itex,
+                itex_ref=itex_ref, frustum0=f0_)
 
         step = mk_step(False)
 
@@ -3439,7 +3482,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                    nee: bool = False, inst=None, itri_vmem: bool = False,
                    tri_cold=None, itri_cold=None, checker: tuple = (),
                    tri_stream: int = 0, tri_pack: int = 1,
-                   itex: tuple = (), itex_tab=None, frustum0: bool = False):
+                   tri_snode: int = 0, itex: tuple = (), itex_tab=None,
+                   frustum0: bool = False):
     """n_bounces of the path loop over the (queue-ordered) ray planes.
 
     pix: (R,) f32 pixel ids; o9: tuple of 13 (R,) f32 planes
@@ -3479,8 +3523,8 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
                                   tri_cold is not None,
                                   itri_cold is not None,
                                   checker=checker, tri_stream=tri_stream,
-                                  tri_pack=tri_pack, itex=itex,
-                                  frustum0=frustum0)
+                                  tri_pack=tri_pack, tri_snode=tri_snode,
+                                  itex=itex, frustum0=frustum0)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -3514,8 +3558,9 @@ def pallas_segment(pix, o9, sph_tab, quad_tab, tri_tab,
         # SMEM scratch: block reads are SCALAR loads overlapped on the
         # scalar core (the dense path's economics) instead of VMEM lane
         # extracts on the VPU — the measured stream-path read cost
+        _snode = tri_snode or STREAM_NODE_ROWS or tri_stream // 4
         scratch.append(pltpu.SMEM(
-            (2 * (tri_stream // tri_pack + STREAM_NODE_ROWS), LANES),
+            (2 * (tri_stream // tri_pack + _snode), LANES),
             jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SMEM((5,), jnp.int32))

@@ -40,7 +40,7 @@ def test_scene_tables_shapes():
 
     scene = Scene(ScenePreset.RANDOM_BALLS_SMALL).build()
     (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, _troots,
-     _eye_used, _stream, _pack) = pack_scene_tables(scene, accel="linear")
+     _eye_used, _stream, _pack, _sn) = pack_scene_tables(scene, accel="linear")
     assert sph.shape[0] == 6 and sph.shape[1] == scene.sph_radius.shape[0]
     assert quad.shape[0] == 14
     assert tri.shape[0] == 27
@@ -418,7 +418,8 @@ def test_tail_view_bit_identical_and_well_formed():
     imgs = []
     for tail in (0, 8):
         (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats, troots,
-         _, _, _) = pack_scene_tables(scene, accel="tree", tail_csize=tail)
+         _, _, _, _) = pack_scene_tables(scene, accel="tree",
+                                         tail_csize=tail)
         args = [jnp.asarray(a) for a in
                 (sph, quad, tri, sph_cl, quad_cl, tri_cl, mats)]
         rad = pallas_trace(
